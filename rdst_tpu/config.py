@@ -1,0 +1,46 @@
+"""Global configuration for rdst_tpu.
+
+Like the reference's cargo features + builder flags (reference:
+Cargo.toml:15-18, src/radix_sort_builder.rs:53-132) but runtime-settable.
+"""
+from __future__ import annotations
+
+import contextlib
+import os
+
+import jax
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def pallas_interpret() -> bool:
+    """Run Pallas kernels in interpreter mode when no TPU is present.
+
+    This is the test strategy for multi-threaded algorithms without the
+    target hardware (SURVEY.md §4 "Multi-node without a cluster").
+    """
+    forced = os.environ.get("RDST_TPU_FORCE_INTERPRET")
+    if forced is not None:
+        return forced not in ("0", "false", "")
+    return not on_tpu()
+
+
+# work_profiles-equivalent: trace per-level algorithm picks
+# (reference: Cargo.toml:18, src/sorter.rs:78-79).
+_work_profiles = [os.environ.get("RDST_TPU_WORK_PROFILES", "0") not in ("0", "")]
+
+
+def work_profiles_enabled() -> bool:
+    return _work_profiles[0]
+
+
+@contextlib.contextmanager
+def work_profiles(enabled: bool = True):
+    old = _work_profiles[0]
+    _work_profiles[0] = enabled
+    try:
+        yield
+    finally:
+        _work_profiles[0] = old

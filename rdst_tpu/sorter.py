@@ -1,0 +1,160 @@
+"""Sorter: the dispatch layer routing a sort to an execution plan.
+
+TPU re-design of the reference's recursive router (reference:
+src/sorter.rs:10-171). The reference recurses per 256-bucket with
+data-dependent shapes — that cannot jit. Instead the TPU sorter:
+
+  1. computes ALL levels' histograms + sortedness in one streaming kernel
+     (the reference re-scans per level/bucket — sorter.rs:50-55),
+  2. short-circuits fully-sorted inputs (sorter.rs:59-65),
+  3. asks the pluggable Tuner for an Algorithm using the top level's counts
+     (sorter.rs:67-76),
+  4. runs the chosen plan as a fixed-depth pass schedule chosen from the
+     histograms, entirely on device.
+
+len<=1 early-out lives in the builder (radix_sort_builder.rs:150-152);
+len<=128 comparative short-circuit here (sorter.rs:35-38).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import jax
+import numpy as np
+
+from rdst_tpu import config
+from rdst_tpu.keys import NormalizedKeys
+from rdst_tpu.ops.histogram import HistogramResult, multi_level_histogram
+from rdst_tpu.tuner import (
+    SINGLE_PROGRAM_ALGORITHMS,
+    Algorithm,
+    StandardTuner,
+    Tuner,
+    TuningParams,
+)
+
+__all__ = ["Sorter", "PlanContext", "register_plan", "get_plan"]
+
+#: Small-input comparative cutoff (reference: src/sorter.rs:35-38).
+COMPARATIVE_CUTOFF = 128
+
+#: Nominal parallelism reported to tuners: grid programs, not OS threads.
+#: (The reference reports rayon::current_num_threads, sorter.rs:108.)
+DEFAULT_THREADS = 8
+
+
+@dataclasses.dataclass
+class PlanContext:
+    """Everything an execution plan may need."""
+
+    hist: HistogramResult | None
+    stable: bool
+    parallel: bool
+    algorithm: Algorithm
+    tuner: Tuner
+
+
+# plan registry: Algorithm -> fn(words, payloads, ctx) -> (words, payloads)
+_PLANS: dict[Algorithm, Callable] = {}
+
+
+def register_plan(algo: Algorithm):
+    def deco(fn):
+        _PLANS[algo] = fn
+        return fn
+
+    return deco
+
+
+def get_plan(algo: Algorithm) -> Callable:
+    return _PLANS[algo]
+
+
+class Sorter:
+    """Routes one sort request to a plan (reference Sorter, sorter.rs:10-22)."""
+
+    def __init__(self, parallel: bool = True, tuner: Tuner | None = None):
+        self.parallel = parallel
+        self.tuner = tuner if tuner is not None else StandardTuner()
+
+    def run(
+        self,
+        nk: NormalizedKeys,
+        payloads: Sequence[jax.Array] = (),
+        *,
+        stable: bool = False,
+    ) -> tuple[NormalizedKeys, list[jax.Array]]:
+        words = list(nk.words)
+        payloads = list(payloads)
+        n = int(words[0].shape[0])
+        L = nk.n_bytes
+
+        if n <= COMPARATIVE_CUTOFF:
+            algo = Algorithm.COMPARATIVE
+            hist = None
+        else:
+            hist = multi_level_histogram(words, L)
+            if hist.fully_sorted():
+                # already-sorted short circuit (sorter.rs:59-65): every
+                # level's digit sequence is nondecreasing => identity sort.
+                # (Payload order is already the stable outcome.)
+                self._trace(L - 1, "AlreadySorted", n)
+                return nk, payloads
+            params = TuningParams(
+                threads=DEFAULT_THREADS if self.parallel else 1,
+                level=L - 1,
+                total_levels=L,
+                input_len=n,
+                parent_len=None,
+            )
+            algo = self.tuner.pick_algorithm(
+                params, hist.counts[L - 1].tolist()
+            )
+            if not self.parallel and algo not in SINGLE_PROGRAM_ALGORITHMS:
+                # reference single-threaded builds only have the reduced
+                # Algorithm enum (tuner.rs:24-31); map to the closest
+                # single-program plan.
+                algo = Algorithm.LSB
+
+        self._trace(L - 1, algo, n)
+        ctx = PlanContext(
+            hist=hist,
+            stable=stable,
+            parallel=self.parallel,
+            algorithm=algo,
+            tuner=self.tuner,
+        )
+        plan = _PLANS[algo]
+        out_words, out_payloads = plan(words, payloads, ctx)
+        return (
+            NormalizedKeys(tuple(out_words), nk.n_bytes, nk.meta),
+            list(out_payloads),
+        )
+
+    @staticmethod
+    def _trace(level: int, algo, n: int) -> None:
+        # work_profiles-equivalent pick trace (reference: sorter.rs:78-79
+        # prints "({level}) PAR: {algorithm:?}").
+        if config.work_profiles_enabled():
+            name = algo.value if isinstance(algo, Algorithm) else str(algo)
+            mode = "PLAN"
+            print(f"({level}) {mode}: {name} len={n}")
+
+
+def _register_default_plans():
+    """Populate the plan registry. Imported lazily to avoid cycles."""
+    from rdst_tpu.sorts.comparative import comparative_sort
+
+    def comparative_plan(words, payloads, ctx: PlanContext):
+        return comparative_sort(words, payloads, stable=ctx.stable)
+
+    _PLANS[Algorithm.COMPARATIVE] = comparative_plan
+    # Radix plans are registered by rdst_tpu.sorts at import; until a
+    # dedicated plan exists for an algorithm, the dispatcher falls back to
+    # the comparative plan (correct for both stable and unstable modes).
+    for algo in Algorithm:
+        _PLANS.setdefault(algo, comparative_plan)
+
+
+_register_default_plans()
