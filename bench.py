@@ -1,0 +1,93 @@
+"""Headline benchmark: u64 keys/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is the ratio against the BASELINE.json north-star target of
+1e9 u64 keys/s/chip. Timing loops run inside a single jit (lax.fori_loop)
+because per-dispatch tunnel overhead (~3 ms) would otherwise dominate.
+
+Extra configs (BASELINE.md list) via: python bench.py --all
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _bench_sort_words(n, n_words, iters=8, plan="auto"):
+    import jax
+    import jax.numpy as jnp
+    from rdst_tpu.engine import sort_words
+
+    rng = np.random.default_rng(42)
+    words = [
+        jnp.asarray(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+        for _ in range(n_words)
+    ]
+
+    # re-randomize cheaply between iterations so the input is never sorted
+    def step(ws):
+        ws = [w * np.uint32(2654435761) + np.uint32(i + 1)
+              for i, w in enumerate(ws)]
+        return tuple(sort_words(ws, plan=plan)[0])
+
+    @jax.jit
+    def once(ws):
+        return step(ws)
+
+    @jax.jit
+    def many(ws):
+        return jax.lax.fori_loop(
+            0, iters, lambda i, a: step(list(a)), tuple(ws)
+        )
+
+    r = once(words)
+    jax.block_until_ready(r)
+    float(jnp.sum(r[0][:8]).astype(jnp.float32))  # force sync
+    t0 = time.perf_counter()
+    r1 = once(words)
+    float(jnp.sum(r1[0][:8]).astype(jnp.float32))
+    t_once = time.perf_counter() - t0
+
+    r = many(words)
+    float(jnp.sum(r[0][:8]).astype(jnp.float32))
+    t0 = time.perf_counter()
+    r = many(words)
+    float(jnp.sum(r[0][:8]).astype(jnp.float32))
+    t_many = time.perf_counter() - t0
+    per_iter = (t_many - t_once) / (iters - 1)
+    return n / per_iter
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 25)
+    ap.add_argument("--plan", default="auto")
+    ap.add_argument("--all", action="store_true",
+                    help="run all BASELINE configs (verbose, not driver mode)")
+    args = ap.parse_args()
+
+    if args.all:
+        from scripts import timings  # noqa: F401 — full harness lives there
+
+        print("use scripts/timings.py for the full matrix", file=sys.stderr)
+
+    keys_per_s = _bench_sort_words(args.n, n_words=2, plan=args.plan)
+    target = 1e9  # BASELINE.json north star: 1B u64 keys/s/chip
+    print(
+        json.dumps(
+            {
+                "metric": f"u64_sort_keys_per_s_chip_n{args.n}",
+                "value": round(keys_per_s),
+                "unit": "keys/s",
+                "vs_baseline": round(keys_per_s / target, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

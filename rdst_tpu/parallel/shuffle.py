@@ -1,0 +1,257 @@
+"""Distributed MSB shuffle sort over a device mesh.
+
+The pod-scale generalization of the reference's bucket-exchange algorithms
+(reference: recombinating_sort.rs:44-112 two-barrier tile sort;
+regions_sort.rs:206-262 inter-region exchange; SURVEY.md §2.3): the
+keyspace is range-partitioned across devices by the most significant
+digits, every device exchanges buckets with every other over ICI/DCN, and
+local sorts complete the order. Device-major concatenation of the outputs
+is the globally sorted sequence — the same bucket-major/tile-minor layout
+the reference uses for stability (mt_lsb_sort.rs:51-63), with devices
+playing the role of tiles.
+
+Pipeline (inside one ``jax.shard_map`` over the partition axis):
+
+  1. local stable sort of the resident shard (so send segments are
+     contiguous and the exchange is order-preserving),
+  2. global top-byte histogram via ``psum`` (the distributed analog of
+     ``aggregate_tile_counts``, sort_utils.rs:247-249),
+  3. histogram-driven monotone bucket->device assignment (balanced ranges;
+     the skew signal is the same ``count >= 2*len/256`` rule the tuners
+     use, standard_tuner.rs:20-22),
+  4. ragged all-to-all exchange with exact per-destination sizes
+     (``jax.lax.ragged_all_to_all``), into fixed-capacity shards,
+  5. local merge-sort of the received segments.
+
+Static-shape constraint: outputs are ``capacity``-sized with a per-device
+valid count (pad slots hold 0xFFFFFFFF and sort to the tail behind a
+validity plane). ``capacity_factor`` bounds skew absorption; overflow is
+detectable from the returned counts.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rdst_tpu.sorts.comparative import comparative_sort
+
+__all__ = ["distributed_sort", "make_mesh"]
+
+RADIX = 256
+PAD_WORD = np.uint32(0xFFFFFFFF)
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _bucket_of(word0: jax.Array) -> jax.Array:
+    """Top-byte bucket of the most significant word (the reference's MSB
+    level, sorter.rs:106-119)."""
+    return jnp.right_shift(word0, np.uint32(24)).astype(jnp.int32)
+
+
+def _local_shard_body(
+    axis: str,
+    n_send_words: int,
+    capacity: int,
+    stable: bool,
+    use_ragged: bool,
+    *arrs,
+):
+    """shard_map body. arrs = word planes + payload planes, local shards."""
+    words_and_payloads = list(arrs)
+    D = jax.lax.psum(1, axis)
+    me = jax.lax.axis_index(axis)
+    n_local = words_and_payloads[0].shape[0]
+
+    # 1. local stable sort by full key (payloads ride along)
+    n_keys = n_send_words
+    sorted_all = jax.lax.sort(
+        tuple(words_and_payloads), num_keys=n_keys, is_stable=stable
+    )
+    sorted_all = list(sorted_all)
+    buckets = _bucket_of(sorted_all[0])  # nondecreasing
+
+    # 2. global top-byte histogram (psum of local histograms). Buckets are
+    # sorted, so the histogram is a searchsorted diff — O(R log n), no
+    # one-hot materialization.
+    edges = jnp.searchsorted(
+        buckets, jnp.arange(RADIX + 1, dtype=jnp.int32), side="left"
+    )
+    local_hist = (edges[1:] - edges[:-1]).astype(jnp.int32)
+    global_hist = jax.lax.psum(local_hist, axis)
+
+    # 3. monotone bucket -> device assignment by cumulative share
+    total = jnp.maximum(jnp.sum(global_hist), 1)
+    cum_mid = jnp.cumsum(global_hist) - global_hist // 2  # midpoint rank
+    dev_of_bucket = jnp.clip(
+        (cum_mid * D) // jnp.maximum(total, 1), 0, D - 1
+    ).astype(jnp.int32)  # nondecreasing in bucket
+
+    # send segment for device d = my elements whose bucket maps to d;
+    # contiguous because buckets are sorted. send_sizes via per-device sums
+    # over the (small) bucket histogram — no per-element gather needed.
+    dev_iota = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
+    send_sizes = jnp.sum(
+        jnp.where(dev_of_bucket[None, :] == dev_iota, local_hist[None, :], 0),
+        axis=1,
+    ).astype(jnp.int32)  # (D,)
+    input_offsets = jnp.cumsum(send_sizes) - send_sizes
+
+    # 4. size matrix via all_gather -> offsets in receiver buffers
+    size_matrix = jax.lax.all_gather(send_sizes, axis)  # (D, D)[sender, dst]
+    recv_sizes = size_matrix[:, me]  # what each sender sends me
+    # where MY segment starts in each receiver's buffer: senders before me
+    output_offsets = jnp.sum(
+        jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, size_matrix.shape, 0) < me,
+            size_matrix,
+            0,
+        ),
+        axis=0,
+    )  # (D,) per destination
+
+    # 5. exchange per plane. TPU: exact ragged all-to-all over ICI. CPU
+    # (tests / dryrun): XLA:CPU lacks ragged-all-to-all, so emulate with a
+    # dense all_to_all of worst-case fixed chunks (test-only memory cost).
+    n_valid = jnp.sum(recv_sizes)
+    if use_ragged:
+        out_planes = []
+        for a in sorted_all:
+            buf = jnp.full((capacity,), PAD_WORD, dtype=a.dtype)
+            out = jax.lax.ragged_all_to_all(
+                a,
+                buf,
+                input_offsets.astype(jnp.int32),
+                send_sizes.astype(jnp.int32),
+                output_offsets.astype(jnp.int32),
+                recv_sizes.astype(jnp.int32),
+                axis_name=axis,
+            )
+            out_planes.append(out)
+        # valid positions are per-sender segments in the output buffer
+        recv_offsets = jnp.cumsum(recv_sizes) - recv_sizes
+        pos = jax.lax.broadcasted_iota(jnp.int32, (D, capacity), 1)
+        seg_valid = (pos >= recv_offsets[:, None]) & (
+            pos < (recv_offsets + recv_sizes)[:, None]
+        )
+        valid_mask = jnp.any(seg_valid, axis=0)
+    else:
+        chunk = capacity  # worst case: one sender fills my whole buffer
+        pos = jax.lax.broadcasted_iota(jnp.int32, (D, chunk), 1)
+        out_planes = []
+        for a in sorted_all:
+            idx = jnp.clip(input_offsets[:, None] + pos, 0, n_local - 1)
+            send_buf = jnp.where(
+                pos < send_sizes[:, None], a[idx], a.dtype.type(PAD_WORD)
+            )
+            recv = jax.lax.all_to_all(
+                send_buf, axis, split_axis=0, concat_axis=0, tiled=False
+            )  # (D, chunk): row i = chunk from sender i
+            out_planes.append(recv.reshape(-1))
+        valid_mask = (pos < recv_sizes[:, None]).reshape(-1)
+
+    # 6. local sort of received data; a leading validity plane keeps pads
+    # behind any real all-ones keys, then truncate to capacity.
+    validity = jnp.where(valid_mask, np.uint32(0), np.uint32(1))
+    resorted = jax.lax.sort(
+        tuple([validity] + out_planes),
+        num_keys=1 + n_keys,
+        is_stable=stable,
+    )
+    out_planes = [p[:capacity] for p in resorted[1:]]
+    return tuple(out_planes) + (n_valid[None],)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "axis", "n_key_words", "capacity", "stable", "use_ragged"
+    ),
+)
+def _distributed_sort_jit(
+    arrs, mesh: Mesh, axis: str, n_key_words: int, capacity: int,
+    stable: bool, use_ragged: bool,
+):
+    body = functools.partial(
+        _local_shard_body, axis, n_key_words, capacity, stable, use_ragged
+    )
+    n_arr = len(arrs)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(P(axis) for _ in range(n_arr)),
+        out_specs=tuple(P(axis) for _ in range(n_arr + 1)),
+    )
+    out = fn(*arrs)
+    return out[:-1], out[-1]
+
+
+def distributed_sort(
+    words: Sequence[jax.Array],
+    payloads: Sequence[jax.Array] = (),
+    *,
+    mesh: Mesh,
+    axis: str = "shard",
+    capacity_factor: float = 2.0,
+    stable: bool = False,
+):
+    """Sort globally over a mesh axis.
+
+    ``words``/``payloads``: uint32 planes, length divisible by mesh size
+    (caller pads with 0xFFFFFFFF key words if needed). Returns
+    ``(words, payloads, counts)`` where each plane is (D * capacity,) laid
+    out device-major — device d's valid slice is
+    ``plane[d*capacity : d*capacity + counts[d]]`` — and the concatenation
+    of valid slices in device order is the globally sorted sequence.
+    """
+    D = mesh.devices.size
+    n = int(words[0].shape[0])
+    if n % D != 0:
+        raise ValueError(f"global length {n} not divisible by mesh size {D}")
+    n_local = n // D
+    capacity = int(np.ceil(capacity_factor * n_local))
+    capacity = max(capacity, 16)
+    arrs = tuple(words) + tuple(payloads)
+    sharding = NamedSharding(mesh, P(axis))
+    arrs = tuple(jax.device_put(a, sharding) for a in arrs)
+    use_ragged = jax.default_backend() == "tpu"
+    out, counts = _distributed_sort_jit(
+        arrs, mesh, axis, len(words), capacity, stable, use_ragged
+    )
+    k = len(words)
+    return list(out[:k]), list(out[k:]), counts
+
+
+def gather_valid(planes: Sequence[jax.Array], counts) -> list[np.ndarray]:
+    """Host helper: concatenate the valid device-major slices densely.
+
+    ``counts[d]`` reports the number of rows RECEIVED by device d (demand),
+    which exceeds the buffer capacity under extreme skew — that's the
+    overflow signal (raise rather than slice garbage; retry with a larger
+    ``capacity_factor``).
+    """
+    counts = np.asarray(counts)
+    D = counts.shape[0]
+    out = []
+    for p in planes:
+        p = np.asarray(p).reshape(D, -1)
+        cap = p.shape[1]
+        if (counts > cap).any():
+            raise OverflowError(
+                f"device received {int(counts.max())} rows > capacity {cap}; "
+                "increase capacity_factor"
+            )
+        out.append(
+            np.concatenate([p[d, : counts[d]] for d in range(D)])
+        )
+    return out
