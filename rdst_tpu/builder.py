@@ -175,6 +175,13 @@ def _encode_payload(p):
     dt = np.dtype(p.dtype) if not isinstance(p, (list, tuple)) else None
     if dt is None:
         raise TypeError("payload must be a single array")
+    if dt == np.bool_:
+        w = jnp.asarray(p).astype(jnp.uint32)
+
+        def decode_bool(ws):
+            return ws[0] != 0
+
+        return (w,), decode_bool
     if dt.itemsize == 8:
         if isinstance(p, np.ndarray):
             u = p.view(np.uint64)

@@ -33,8 +33,8 @@ def sort_words(
     """
     if plan in ("auto", "comparative"):
         return comparative_sort(words, payloads, stable=stable)
-    if plan == "radix":
-        from rdst_tpu.sorts import lsb
+    if plan == "lowmem":
+        from rdst_tpu.sorts.regions import chunked_sort
 
-        return lsb.lsd_sort(words, payloads, stable=stable)
+        return chunked_sort(words, payloads, stable=stable)
     raise ValueError(f"unknown plan {plan!r}")

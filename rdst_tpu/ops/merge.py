@@ -1,0 +1,106 @@
+"""Bitonic merge of sorted multi-plane sequences (XLA-level).
+
+Primitive behind the low-memory chunked plan (the reference's Regions sort
+merges per-tile sorted runs, regions_sort.rs:206-262) and the distributed
+post-exchange combine. Merging two sorted length-m runs costs
+O(m log m) compare-exchange stages — ~20x cheaper than re-sorting the
+concatenation through the full sorting network.
+
+All data movement is static reshapes + elementwise min/max selects, which
+XLA fuses well on TPU.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["merge_sorted", "merge_many"]
+
+
+def _lex_greater(keys_x, keys_y):
+    """x > y lexicographically over key planes (most significant first)."""
+    gt = jnp.zeros(keys_x[0].shape, jnp.bool_)
+    eq = jnp.ones(keys_x[0].shape, jnp.bool_)
+    for kx, ky in zip(keys_x, keys_y):
+        gt = gt | (eq & (kx > ky))
+        eq = eq & (kx == ky)
+    return gt
+
+
+def merge_sorted(
+    planes_a: Sequence[jax.Array],
+    planes_b: Sequence[jax.Array],
+    n_keys: int,
+    *,
+    stable: bool = False,
+) -> list[jax.Array]:
+    """Merge two sorted plane-lists (first ``n_keys`` planes are the key,
+    most significant first). Lengths must be equal powers of two (pad with
+    all-ones sentinel keys to satisfy; pads sort to the tail).
+
+    ``stable=True`` appends a synthetic tiebreak plane (a-side before
+    b-side, original order within side) so equal keys merge stably.
+    """
+    m = planes_a[0].shape[0]
+    if m != planes_b[0].shape[0] or m & (m - 1):
+        raise ValueError("merge_sorted needs equal power-of-two lengths")
+    planes_a = list(planes_a)
+    planes_b = list(planes_b)
+    nk = n_keys
+    if stable:
+        iota = jax.lax.broadcasted_iota(jnp.uint32, (m, 1), 0).squeeze(-1)
+        planes_a = planes_a[:nk] + [iota] + planes_a[nk:]
+        planes_b = planes_b[:nk] + [iota + np.uint32(m)] + planes_b[nk:]
+        nk = nk + 1
+
+    # bitonic: concat(a, reverse(b)) then log2(2m) split stages
+    z = [jnp.concatenate([pa, pb[::-1]]) for pa, pb in zip(planes_a, planes_b)]
+    total = 2 * m
+    s = m
+    while s >= 1:
+        zs = [p.reshape(total // (2 * s), 2, s) for p in z]
+        lo = [p[:, 0, :] for p in zs]
+        hi = [p[:, 1, :] for p in zs]
+        swap = _lex_greater(lo[:nk], hi[:nk])
+        new_lo = [jnp.where(swap, h, l) for l, h in zip(lo, hi)]
+        new_hi = [jnp.where(swap, l, h) for l, h in zip(lo, hi)]
+        z = [
+            jnp.stack([nl, nh], axis=1).reshape(total)
+            for nl, nh in zip(new_lo, new_hi)
+        ]
+        s //= 2
+    if stable:
+        z = z[: n_keys] + z[n_keys + 1 :]
+    return z
+
+
+def merge_many(
+    runs: Sequence[Sequence[jax.Array]], n_keys: int, *, stable: bool = False
+) -> list[jax.Array]:
+    """Merge k same-length sorted runs via a pairwise merge tree."""
+    runs = [list(r) for r in runs]
+    while len(runs) > 1:
+        nxt = []
+        for i in range(0, len(runs) - 1, 2):
+            nxt.append(
+                merge_sorted(runs[i], runs[i + 1], n_keys, stable=stable)
+            )
+        if len(runs) % 2:
+            nxt.append(runs[-1])
+        # equalize lengths for the next level by re-pairing: merge_sorted
+        # outputs 2m, an odd tail stays m — pad it to match when re-paired
+        mx = max(r[0].shape[0] for r in nxt)
+        for j, r in enumerate(nxt):
+            if r[0].shape[0] < mx:
+                pad = mx - r[0].shape[0]
+                nxt[j] = [
+                    jnp.concatenate(
+                        [p, jnp.full((pad,), np.uint32(0xFFFFFFFF), p.dtype)]
+                    )
+                    for p in r
+                ]
+        runs = nxt
+    return runs[0]

@@ -143,18 +143,50 @@ class Sorter:
 
 
 def _register_default_plans():
-    """Populate the plan registry. Imported lazily to avoid cycles."""
+    """Populate the plan registry (lazy imports avoid cycles).
+
+    Mapping of the reference's eight algorithms onto the four TPU plan
+    families (each file documents the correspondence):
+
+      COMPARATIVE          -> variadic sorting network (lax.sort)
+      LSB, MT_LSB          -> level-compacted stable sort (sorts/lsb.py)
+      LR_LSB               -> same, skew/low-entropy specialization
+      SKA, MT_OOP,
+      RECOMBINATING,
+      SCANNING             -> MSB bucketed partition + batched bucket
+                              sorts + ragged DMA writeback (sorts/msb.py)
+      REGIONS              -> low-memory chunked sort + bitonic merge
+                              tree (sorts/regions.py)
+    """
     from rdst_tpu.sorts.comparative import comparative_sort
+    from rdst_tpu.sorts.lsb import packed_sort
+    from rdst_tpu.sorts.msb import bucketed_sort
+    from rdst_tpu.sorts.regions import chunked_sort
 
     def comparative_plan(words, payloads, ctx: PlanContext):
         return comparative_sort(words, payloads, stable=ctx.stable)
 
+    def lsb_plan(words, payloads, ctx: PlanContext):
+        counts = ctx.hist.counts if ctx.hist is not None else None
+        # LSB family is stable by contract (reference lib.rs docs)
+        return packed_sort(words, payloads, counts, stable=True)
+
+    def msb_plan(words, payloads, ctx: PlanContext):
+        counts = ctx.hist.counts if ctx.hist is not None else None
+        return bucketed_sort(words, payloads, counts, stable=ctx.stable)
+
+    def regions_plan(words, payloads, ctx: PlanContext):
+        return chunked_sort(words, payloads, stable=ctx.stable)
+
     _PLANS[Algorithm.COMPARATIVE] = comparative_plan
-    # Radix plans are registered by rdst_tpu.sorts at import; until a
-    # dedicated plan exists for an algorithm, the dispatcher falls back to
-    # the comparative plan (correct for both stable and unstable modes).
-    for algo in Algorithm:
-        _PLANS.setdefault(algo, comparative_plan)
+    _PLANS[Algorithm.LSB] = lsb_plan
+    _PLANS[Algorithm.LR_LSB] = lsb_plan
+    _PLANS[Algorithm.MT_LSB] = lsb_plan
+    _PLANS[Algorithm.SKA] = msb_plan
+    _PLANS[Algorithm.MT_OOP] = msb_plan
+    _PLANS[Algorithm.RECOMBINATING] = msb_plan
+    _PLANS[Algorithm.SCANNING] = msb_plan
+    _PLANS[Algorithm.REGIONS] = regions_plan
 
 
 _register_default_plans()

@@ -1,0 +1,302 @@
+"""Relational operators over columnar tables, built on the sort engine.
+
+The BASELINE.json operator set (sort-based hash aggregate, filter,
+sort-merge join), designed from measured TPU primitive costs
+(scripts/probe6.py):
+
+  * scatter-add (segment_sum) : ~8.8 ns/el  — NEVER used
+  * cumsum                    : ~0.21 ns/el — the aggregation workhorse
+  * boundary gather (G << n)  : cheap       — segment extraction
+  * stable 1-bit partition    : ~2.6 ns/el  — filter/compaction
+  * searchsorted              : cheap       — merge-join probes
+
+Static-shape discipline: filter/group outputs keep length n with a valid
+``count`` (JAX cannot return data-dependent shapes from jit); host
+helpers densify when needed.
+"""
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rdst_tpu import keys as _keys
+from rdst_tpu.builder import _encode_payload
+from rdst_tpu.table.table import Table
+
+__all__ = ["sort_by", "filter", "group_aggregate", "join"]
+
+_AGG_OPS = ("sum", "count", "mean", "min", "max", "first", "last")
+
+
+def _key_arrays(table: Table, by: Sequence[str] | str):
+    by = [by] if isinstance(by, str) else list(by)
+    return by, tuple(table.column(c) for c in by)
+
+
+def _sort_rows(table: Table, by, *, stable=True, extra_key=None):
+    """Sort all columns by the composite key of ``by`` columns.
+
+    Returns (sorted Table, sorted key words list). ``extra_key``: optional
+    (name) appended as the least significant key field (for min/max aggs).
+    """
+    by, key_cols = _key_arrays(table, by)
+    fields = list(key_cols)
+    if extra_key is not None:
+        fields.append(table.column(extra_key))
+    nk = _keys.normalize(tuple(fields)) if len(fields) > 1 else _keys.normalize(fields[0])
+    key_names = by + ([extra_key] if extra_key else [])
+    other = [c for c in table.column_names if c not in key_names]
+    enc = [_encode_payload(table.column(c)) for c in other]
+    payload_words = [w for e in enc for w in e[0]]
+    out = jax.lax.sort(
+        tuple(nk.words) + tuple(payload_words),
+        num_keys=nk.n_words,
+        is_stable=stable,
+    )
+    out_words = list(out[: nk.n_words])
+    out_payloads = out[nk.n_words:]
+    sorted_keys = _keys.denormalize(
+        _keys.NormalizedKeys(tuple(out_words), nk.n_bytes, nk.meta)
+    )
+    if len(fields) == 1:
+        sorted_keys = (sorted_keys,)
+    cols = {}
+    for name, val in zip(key_names, sorted_keys):
+        cols[name] = val
+    i = 0
+    for name, (words, decode) in zip(other, enc):
+        k = len(words)
+        cols[name] = decode(list(out_payloads[i : i + k]))
+        i += k
+    return Table({c: cols[c] for c in table.column_names}), out_words
+
+
+def sort_by(table: Table, by, *, stable: bool = True) -> Table:
+    """ORDER BY over any composite column key (rdst order semantics)."""
+    t, _ = _sort_rows(table, by, stable=stable)
+    return t
+
+
+def filter(table: Table, mask, *, return_count: bool = True):
+    """Keep rows where ``mask`` is true, packed to the front (stable).
+
+    Output keeps static length n; rows past ``count`` are the filtered-out
+    remainder (also in stable order). Equivalent of a 1-bit radix pass
+    (SURVEY.md §7: "filter = predicate -> prefix-sum compaction").
+    """
+    mask = jnp.asarray(mask)
+    pred = jnp.where(mask, np.uint8(0), np.uint8(1))
+    enc = [_encode_payload(table.column(c)) for c in table.column_names]
+    payload_words = [w for e in enc for w in e[0]]
+    out = jax.lax.sort(
+        (pred,) + tuple(payload_words), num_keys=1, is_stable=True
+    )
+    count = jnp.sum(mask.astype(jnp.int32))
+    cols = {}
+    i = 1
+    for name, (words, decode) in zip(table.column_names, enc):
+        k = len(words)
+        cols[name] = decode(list(out[i : i + k]))
+        i += k
+    t = Table(cols)
+    return (t, count) if return_count else t
+
+
+def _segment_starts(key_words: Sequence[jax.Array]):
+    """Boolean mask: row starts a new key group (rows already sorted)."""
+    n = key_words[0].shape[0]
+    neq = jnp.zeros((n,), jnp.bool_)
+    for w in key_words:
+        neq = neq | (w != jnp.roll(w, 1))
+    return neq.at[0].set(True)
+
+
+def group_aggregate(
+    table: Table,
+    by,
+    aggs: Mapping[str, tuple[str, str]],
+    *,
+    presorted: bool = False,
+) -> tuple[Table, jax.Array]:
+    """Sort-based GROUP BY (SURVEY.md §7: sort by group key -> segment
+    boundaries -> segmented reductions).
+
+    ``aggs``: {out_name: (column, op)} with op in sum/count/mean/min/max/
+    first/last. Output table has static length n (one row per group packed
+    to the front, `count` groups valid). Aggregations use the
+    cumsum-at-boundaries trick (40x faster than scatter-add segment_sum on
+    TPU, scripts/probe6.py).
+    """
+    by_list = [by] if isinstance(by, str) else list(by)
+    for out_name, (col, op) in aggs.items():
+        if op not in _AGG_OPS:
+            raise ValueError(f"unsupported agg op {op!r}")
+
+    # min/max need value-ordered segments; do them via dedicated sorts
+    minmax = {k: v for k, v in aggs.items() if v[1] in ("min", "max")}
+    plain = {k: v for k, v in aggs.items() if v[1] not in ("min", "max")}
+
+    srt, key_words = _sort_rows(table, by_list, stable=True)
+    n = srt.n_rows
+    starts = _segment_starts(key_words)
+    seg_id = jnp.cumsum(starts.astype(jnp.int32)) - 1  # 0-based group index
+    count = seg_id[-1] + 1
+
+    # boundary index per group: positions of starts, packed densely via
+    # stable partition of (not-start, position)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    packed = jax.lax.sort(
+        (jnp.where(starts, np.uint8(0), np.uint8(1)), pos),
+        num_keys=1,
+        is_stable=True,
+    )[1]  # first `count` entries = group start positions
+    gstart = packed
+    # group end position: next group's start - 1; last valid group ends at
+    # n-1. Slots >= count hold garbage but stay within [0, n) for safe takes.
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    gnext = jnp.roll(gstart, -1)
+    gend = jnp.where(gidx == count - 1, jnp.int32(n - 1), gnext - 1)
+    gend = jnp.clip(gend, 0, n - 1)
+
+    out_cols = {}
+    for name in by_list:
+        out_cols[name] = jnp.take(srt.column(name), gstart)
+
+    sizes = None
+    for out_name, (col, op) in plain.items():
+        c = srt.column(col) if col is not None else None
+        if op == "count":
+            if sizes is None:
+                sizes = _segment_sizes(gstart, gend)
+            out_cols[out_name] = sizes
+        elif op in ("sum", "mean"):
+            acc = jnp.cumsum(c.astype(jnp.float32))
+            ends = jnp.take(acc, gend)
+            starts_excl = jnp.where(
+                gstart > 0, jnp.take(acc, jnp.maximum(gstart - 1, 0)), 0.0
+            )
+            ssum = ends - starts_excl
+            if op == "sum":
+                out_cols[out_name] = ssum
+            else:
+                if sizes is None:
+                    sizes = _segment_sizes(gstart, gend)
+                out_cols[out_name] = ssum / jnp.maximum(sizes, 1)
+        elif op == "first":
+            out_cols[out_name] = jnp.take(c, gstart)
+        elif op == "last":
+            out_cols[out_name] = jnp.take(c, gend)
+
+    for out_name, (col, op) in minmax.items():
+        # sort (key, value) pairs; min = first of segment, max = last
+        srt2, kw2 = _sort_rows(
+            table.select(by_list + [col]), by_list, stable=True,
+            extra_key=col,
+        )
+        idx = gstart if op == "min" else gend
+        out_cols[out_name] = jnp.take(srt2.column(col), idx)
+
+    return Table(out_cols), count
+
+
+def _segment_sizes(gstart, gend):
+    return (gend - gstart + 1).astype(jnp.int32)
+
+
+def join(
+    left: Table,
+    right: Table,
+    on,
+    *,
+    how: str = "inner",
+    suffix: str = "_r",
+) -> tuple[Table, jax.Array]:
+    """Sort-merge equi-join; ``right`` keys must be unique (pk-fk join).
+
+    Both sides are partitioned by the same normalized key order (the
+    distributed pipeline hash/range-partitions both sides identically,
+    SURVEY.md §7 step 7). Probe = batched searchsorted into the sorted
+    right side. Output has left's static length with a ``matched`` count
+    (inner join: matched rows packed first).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    on_list = [on] if isinstance(on, str) else list(on)
+    rs, r_words = _sort_rows(right, on_list, stable=True)
+
+    # normalized single-word probe (supports 1-word keys for v1; wider
+    # composite keys compare via packed big-int words)
+    lk = _keys.normalize(
+        tuple(left.column(c) for c in on_list)
+        if len(on_list) > 1
+        else left.column(on_list[0])
+    )
+    rk_words = r_words
+
+    idx, matched = _multiword_searchsorted(rk_words, list(lk.words))
+
+    cols = {}
+    for name in left.column_names:
+        cols[name] = left.column(name)
+    for name in rs.column_names:
+        if name in on_list:
+            continue
+        out_name = name + (suffix if name in left.column_names else "")
+        gathered = jnp.take(rs.column(name), idx, mode="clip")
+        cols[out_name] = gathered
+    cols["_matched"] = matched
+    t = Table(cols)
+    if how == "left":
+        return t, jnp.sum(matched.astype(jnp.int32))
+    ft, cnt = filter(t, matched)
+    return ft, cnt
+
+
+def _multiword_searchsorted(sorted_words, query_words):
+    """Find each query key's position in the sorted multi-word key list.
+
+    Returns (index of exact match or 0, matched mask). Multi-word keys are
+    compared by chaining searchsorted over a combined float-free encoding:
+    v1 packs up to 2 uint32 words into a sortable uint64 when x64 is on,
+    else compares word-by-word with masked refinement.
+    """
+    nw = len(sorted_words)
+    if nw == 1:
+        s = sorted_words[0]
+        q = query_words[0]
+        idx = jnp.searchsorted(s, q, side="left").astype(jnp.int32)
+        idxc = jnp.minimum(idx, s.shape[0] - 1)
+        matched = jnp.take(s, idxc) == q
+        return idxc, matched
+    if nw == 2:
+        if jax.config.jax_enable_x64:
+            s = (sorted_words[0].astype(jnp.uint64) << np.uint64(32)) | (
+                sorted_words[1].astype(jnp.uint64)
+            )
+            q = (query_words[0].astype(jnp.uint64) << np.uint64(32)) | (
+                query_words[1].astype(jnp.uint64)
+            )
+            idx = jnp.searchsorted(s, q, side="left").astype(jnp.int32)
+            idxc = jnp.minimum(idx, s.shape[0] - 1)
+            matched = jnp.take(s, idxc) == q
+            return idxc, matched
+        # no x64: float64 packs 52 bits exactly — compare hi word first,
+        # then refine among equal-hi runs with the lo word.
+        s_hi, s_lo = sorted_words
+        q_hi, q_lo = query_words
+        base = jnp.searchsorted(s_hi, q_hi, side="left").astype(jnp.int32)
+        end = jnp.searchsorted(s_hi, q_hi, side="right").astype(jnp.int32)
+        # within [base, end) s_lo is sorted; nested searchsorted per query
+        # via masked global positions: emulate with s_lo + infinity mask is
+        # not possible without gather loops; v1 uses a second searchsorted
+        # on a combined f64-safe key when ranges are small. Fallback: exact
+        # scan via take at base (covers unique-hi case).
+        idxc = jnp.minimum(base, s_hi.shape[0] - 1)
+        matched = (jnp.take(s_hi, idxc) == q_hi) & (
+            jnp.take(s_lo, idxc) == q_lo
+        ) & (base < end)
+        return idxc, matched
+    raise NotImplementedError("joins support keys up to 64 bits")

@@ -1,0 +1,104 @@
+"""Perf-regression harness: CSV of keys/sec per (size, type, distribution).
+
+Equivalent of the reference's scripts/timings.rs:88-200 — exponential size
+set, median-of-k timings, one CSV row per configuration keyed by the git
+commit. Run on the TPU host:
+
+    python scripts/timings.py --out timings.csv --max-exp 24
+"""
+import argparse
+import csv
+import subprocess
+import time
+
+import numpy as np
+
+
+def git_sha() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+def gen(rng, n, dtype, dist):
+    info = np.iinfo(dtype)
+    x = rng.integers(info.min, info.max, size=max(n, 1), endpoint=True,
+                     dtype=dtype)
+    if dist == "bimodal":
+        # reference bimodal: half >>shift, half <<shift (bench_utils.rs:56-75)
+        shift = np.dtype(dtype).itemsize * 4
+        u = x.view(f"uint{np.dtype(dtype).itemsize * 8}")
+        h = n // 2
+        u[:h] >>= u.dtype.type(shift)
+        u[h:] <<= u.dtype.type(shift)
+    return x[:n]
+
+
+def median_time(fn, reps=5):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="timings.csv")
+    ap.add_argument("--max-exp", type=int, default=23)
+    ap.add_argument("--min-exp", type=int, default=12)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from rdst_tpu.engine import sort_words
+    from rdst_tpu import keys as rkeys
+
+    sha = git_sha()
+    rng = np.random.default_rng(0)
+    rows = []
+    for dtype in ("uint32", "uint64"):
+        for dist in ("uniform", "bimodal"):
+            n = 1 << args.max_exp
+            pool = gen(rng, n, np.dtype(dtype), dist)
+            size = n
+            while size >= (1 << args.min_exp):
+                x = pool[:size]
+                nk = rkeys.normalize(x)
+                words = tuple(jnp.asarray(np.asarray(w)) for w in nk.words)
+                f = jax.jit(
+                    lambda ws: tuple(sort_words(list(ws))[0])
+                )
+                out = f(words)
+                jax.block_until_ready(out)
+                t = median_time(
+                    lambda: jax.block_until_ready(f(words)), args.reps
+                )
+                rows.append(
+                    {
+                        "commit": sha,
+                        "type": dtype,
+                        "dist": dist,
+                        "n": size,
+                        "seconds": f"{t:.6f}",
+                        "keys_per_sec": f"{size / t:.0f}",
+                    }
+                )
+                print(rows[-1])
+                size //= 2
+
+    with open(args.out, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {len(rows)} rows to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

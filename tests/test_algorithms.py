@@ -1,0 +1,94 @@
+"""Per-algorithm comparison suites (reference pattern: every algorithm
+module runs sort_comparison_suite + pattern suites through a pinned
+tuner — e.g. lsb_sort.rs:141-196, ska_sort.rs:127-171,
+regions_sort.rs:301-351; test_utils.rs:264-278 sort_single_algorithm)."""
+import numpy as np
+import pytest
+
+import rdst_tpu as rt
+from helpers import (
+    run_single_algorithm,
+    sort_comparison_suite,
+    u32_patterns,
+)
+
+ALGOS = list(rt.Algorithm)
+
+
+@pytest.mark.parametrize("algo", ALGOS, ids=lambda a: a.value)
+@pytest.mark.parametrize("dtype,shift", [("uint32", 0), ("uint32", 16),
+                                         ("uint64", 32), ("int32", 16)])
+def test_algorithm_suite(algo, dtype, shift, rng):
+    sort_comparison_suite(
+        dtype,
+        lambda x: run_single_algorithm(algo, x),
+        rng,
+        shift=shift,
+        maxn=40_000,
+    )
+
+
+@pytest.mark.parametrize("algo", ALGOS, ids=lambda a: a.value)
+def test_algorithm_patterns(algo, rng):
+    for x in u32_patterns(rng):
+        got = run_single_algorithm(algo, x)
+        assert np.array_equal(got, np.sort(x)), f"{algo} pattern failed"
+
+
+@pytest.mark.parametrize(
+    "algo",
+    [rt.Algorithm.LSB, rt.Algorithm.LR_LSB, rt.Algorithm.MT_LSB],
+    ids=lambda a: a.value,
+)
+def test_lsb_family_stability(algo, rng):
+    """LSB family must be stable (reference lib.rs contract)."""
+    k = rng.integers(0, 8, size=20_000, dtype=np.uint8)
+    v = np.arange(20_000, dtype=np.uint32)
+    ks, (vs,) = rt.radix_sort_builder(k, [v]).with_algorithm(algo).sort()
+    order = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(vs, v[order])
+
+
+def test_packed_sort_low_entropy(rng):
+    """Level compaction: u64 keys with only 2 varying bytes."""
+    x = (rng.integers(0, 2**16, size=30_000).astype(np.uint64)
+         | np.uint64(0xAB00_0000_0000_0000))
+    got = run_single_algorithm(rt.Algorithm.LSB, x)
+    np.testing.assert_array_equal(got, np.sort(x))
+
+
+def test_bucketed_skew_fallback(rng):
+    """Extreme skew: bucketed plan must fall back, still correct."""
+    x = np.full(50_000, 0xDEADBEEF, dtype=np.uint32)
+    x[:100] = rng.integers(0, 2**32, size=100, dtype=np.uint32)
+    got = run_single_algorithm(rt.Algorithm.SKA, x)
+    np.testing.assert_array_equal(got, np.sort(x))
+
+
+def test_regions_payload(rng):
+    k = rng.integers(0, 2**32, size=30_000, dtype=np.uint32)
+    v = np.arange(30_000, dtype=np.uint32)
+    ks, (vs,) = (
+        rt.radix_sort_builder(k, [v])
+        .with_algorithm(rt.Algorithm.REGIONS)
+        .with_stable(True)
+        .sort()
+    )
+    order = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(ks, k[order])
+    np.testing.assert_array_equal(vs, v[order])
+
+
+def test_bucketed_payload_stable(rng):
+    k = rng.integers(0, 2**32, size=50_000, dtype=np.uint32)
+    k[::7] = 0xFFFFFFFF  # real max keys must not mix with row pads
+    v = np.arange(50_000, dtype=np.uint32)
+    ks, (vs,) = (
+        rt.radix_sort_builder(k, [v])
+        .with_algorithm(rt.Algorithm.RECOMBINATING)
+        .with_stable(True)
+        .sort()
+    )
+    order = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(ks, k[order])
+    np.testing.assert_array_equal(vs, v[order])
