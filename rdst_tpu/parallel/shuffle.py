@@ -42,7 +42,14 @@ from rdst_tpu.sorts.comparative import comparative_sort
 
 __all__ = ["distributed_sort", "make_mesh"]
 
-RADIX = 256
+#: Partition granularity: top 16 bits. The reference's MSB level is one
+#: byte (sorter.rs:106-119); two bytes gives 256x finer bucket->device
+#: splitting, which is the histogram-driven "skew splitting" of SURVEY.md
+#: §7 — a bucket hotter than one device's share splits across devices at
+#: the next byte automatically. (A single hot 16-bit prefix can still
+#: overflow one device; capacity_factor + the OverflowError signal cover
+#: detection, replicate-and-merge is future work.)
+N_BUCKETS = 1 << 16
 PAD_WORD = np.uint32(0xFFFFFFFF)
 
 
@@ -53,10 +60,46 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def _bucket_of(word0: jax.Array) -> jax.Array:
-    """Top-byte bucket of the most significant word (the reference's MSB
-    level, sorter.rs:106-119)."""
-    return jnp.right_shift(word0, np.uint32(24)).astype(jnp.int32)
+def _bit_length(x: jax.Array) -> jax.Array:
+    """Exact bit length of a uint32 scalar (32 shift-compare steps)."""
+    bits = jnp.int32(0)
+    for k in range(32):
+        bits = bits + (jnp.right_shift(x, np.uint32(k)) > 0).astype(jnp.int32)
+    return bits
+
+
+def _adaptive_buckets(sorted_words, axis: str) -> jax.Array:
+    """Monotone 16-bit bucket ids adapted to the keys' varying bits.
+
+    A fixed top-16-bit window collapses low-entropy keys (e.g. all values
+    < 2^16, or u64 keys whose high word is constant) into one bucket and
+    therefore one device. Instead: find the most significant word that
+    varies globally (pmin/pmax collectives), and slide a 16-bit window
+    over its varying bit range. This is the histogram-driven skew/entropy
+    adaptation of SURVEY.md §7 at the partitioning level — the same signal
+    the packed LSB plan uses to drop constant byte planes.
+    """
+    w0 = sorted_words[0]
+    gmin0 = jax.lax.pmin(jnp.min(w0), axis)
+    span0 = jax.lax.pmax(jnp.max(w0), axis) - gmin0
+    bl0 = _bit_length(span0)
+    b0 = jnp.minimum(bl0, 16)  # bits taken from word 0
+    shift0 = (bl0 - b0).astype(jnp.uint32)
+    hi = jnp.right_shift(w0 - gmin0, shift0).astype(jnp.int32)  # < 2^b0
+    r = (16 - b0).astype(jnp.int32)  # remaining bits from word 1
+    if len(sorted_words) > 1:
+        w1 = sorted_words[1]
+        gmin1 = jax.lax.pmin(jnp.min(w1), axis)
+        span1 = jax.lax.pmax(jnp.max(w1), axis) - gmin1
+        shift1 = jnp.maximum(_bit_length(span1) - r, 0).astype(jnp.uint32)
+        lo = jnp.right_shift(w1 - gmin1, shift1).astype(jnp.int32)
+        lo = jnp.minimum(lo, (1 << r) - 1)  # r == 0 -> lo forced to 0
+    else:
+        lo = jnp.int32(0)
+        r = jnp.int32(0)
+    # hi dominates (lexicographic), lo refines within equal-hi groups:
+    # monotone in the full key either way.
+    return (hi << r) | lo
 
 
 def _local_shard_body(
@@ -79,13 +122,14 @@ def _local_shard_body(
         tuple(words_and_payloads), num_keys=n_keys, is_stable=stable
     )
     sorted_all = list(sorted_all)
-    buckets = _bucket_of(sorted_all[0])  # nondecreasing
+    # nondecreasing after the local sort (monotone function of the key)
+    buckets = _adaptive_buckets(sorted_all[:n_keys], axis)
 
-    # 2. global top-byte histogram (psum of local histograms). Buckets are
+    # 2. global top-16-bit histogram (psum of local histograms). Buckets are
     # sorted, so the histogram is a searchsorted diff — O(R log n), no
     # one-hot materialization.
     edges = jnp.searchsorted(
-        buckets, jnp.arange(RADIX + 1, dtype=jnp.int32), side="left"
+        buckets, jnp.arange(N_BUCKETS + 1, dtype=jnp.int32), side="left"
     )
     local_hist = (edges[1:] - edges[:-1]).astype(jnp.int32)
     global_hist = jax.lax.psum(local_hist, axis)

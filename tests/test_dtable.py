@@ -1,0 +1,106 @@
+"""Distributed table pipeline on the 8-device CPU mesh (BASELINE config 5:
+shuffle sort + hash aggregate + filter over partitioned tables)."""
+import numpy as np
+import pytest
+
+import jax
+
+from rdst_tpu.parallel import make_mesh
+from rdst_tpu.parallel.dtable import (
+    distributed_filter,
+    distributed_group_aggregate,
+    distributed_sort_table,
+)
+from rdst_tpu.table import Table
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+@pytest.fixture()
+def sales(rng):
+    n = 1 << 14
+    return Table(
+        {
+            "key": rng.integers(0, 2**32, n, dtype=np.int64).astype(np.uint32),
+            "grp": rng.integers(0, 64, n).astype(np.uint32),
+            "qty": rng.integers(1, 50, n).astype(np.uint32),
+            "id": np.arange(n, dtype=np.uint32),
+        }
+    ), n
+
+
+def test_distributed_sort_table(mesh, sales):
+    t, n = sales
+    out, counts = distributed_sort_table(t, "key", mesh=mesh)
+    cnts = np.asarray(counts)
+    assert cnts.sum() == n
+    D = cnts.shape[0]
+    k = np.asarray(out["key"]).reshape(D, -1)
+    ids = np.asarray(out["id"]).reshape(D, -1)
+    dense_k = np.concatenate([k[d, : cnts[d]] for d in range(D)])
+    dense_i = np.concatenate([ids[d, : cnts[d]] for d in range(D)])
+    order = np.argsort(np.asarray(t["key"]), kind="stable")
+    np.testing.assert_array_equal(dense_k, np.asarray(t["key"])[order])
+    np.testing.assert_array_equal(dense_i, np.asarray(t["id"])[order])
+
+
+def test_distributed_filter(mesh, sales):
+    t, n = sales
+    mask = np.asarray(t["qty"]) > 25
+    out, counts = distributed_filter(t, mask, mesh=mesh)
+    cnts = np.asarray(counts)
+    assert cnts.sum() == mask.sum()
+    # per-shard packing: kept rows of each shard appear first, in order
+    D = cnts.shape[0]
+    ids = np.asarray(out["id"]).reshape(D, -1)
+    shard = n // D
+    mask2 = mask.reshape(D, shard)
+    src_ids = np.asarray(t["id"]).reshape(D, shard)
+    for d in range(D):
+        np.testing.assert_array_equal(
+            ids[d, : cnts[d]], src_ids[d][mask2[d]]
+        )
+
+
+def test_distributed_group_aggregate(mesh, sales):
+    t, n = sales
+    out, n_groups = distributed_group_aggregate(
+        t, "grp", {"total": ("qty", "sum"), "cnt": ("qty", "count")},
+        mesh=mesh,
+    )
+    g = int(n_groups)
+    grp0 = np.asarray(t["grp"])
+    qty0 = np.asarray(t["qty"]).astype(np.float64)
+    keys = np.unique(grp0)
+    assert g == len(keys)
+    np.testing.assert_array_equal(np.asarray(out["grp"])[:g], keys)
+    for i, kk in enumerate(keys):
+        sel = qty0[grp0 == kk]
+        assert abs(float(np.asarray(out["total"])[i]) - sel.sum()) < 1.0
+        assert int(np.asarray(out["cnt"])[i]) == len(sel)
+
+
+def test_distributed_sort_skew_16bit_split(mesh, rng):
+    """Half the keys share a top BYTE: 16-bit bucketing must split them
+    across devices (the SURVEY §7 skew-splitting requirement)."""
+    n = 1 << 14
+    hot = (np.uint32(0xAB) << np.uint32(24)) | rng.integers(
+        0, 2**24, n // 2
+    ).astype(np.uint32)
+    rest = rng.integers(0, 2**32, size=n // 2, dtype=np.int64).astype(np.uint32)
+    x = np.concatenate([hot, rest])
+    rng.shuffle(x)
+    t = Table({"key": x, "id": np.arange(n, dtype=np.uint32)})
+    # capacity_factor 2.0 suffices BECAUSE the hot byte splits at 16 bits
+    out, counts = distributed_sort_table(t, "key", mesh=mesh,
+                                         capacity_factor=2.0)
+    cnts = np.asarray(counts)
+    assert cnts.sum() == n
+    assert cnts.max() <= 2 * (n // 8)
+    D = cnts.shape[0]
+    k = np.asarray(out["key"]).reshape(D, -1)
+    dense = np.concatenate([k[d, : cnts[d]] for d in range(D)])
+    np.testing.assert_array_equal(dense, np.sort(x))
