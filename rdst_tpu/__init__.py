@@ -30,6 +30,8 @@ from rdst_tpu.builder import (
     sort_key_value,
     argsort,
 )
+from rdst_tpu import jit_api
+from rdst_tpu.table import Table
 
 __version__ = "0.1.0"
 
@@ -46,4 +48,6 @@ __all__ = [
     "radix_sort_builder",
     "sort_key_value",
     "argsort",
+    "jit_api",
+    "Table",
 ]

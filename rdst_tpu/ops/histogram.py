@@ -60,12 +60,19 @@ class HistogramResult:
         return bool(self.level_sorted.all())
 
 
-def _choose_tiling(n: int) -> tuple[int, int]:
-    """(num_tiles, tile_size) with tile a CHUNK multiple."""
+def _choose_tiling(n: int, n_words: int = 1) -> tuple[int, int]:
+    """(num_tiles, tile_size) with tile a CHUNK multiple.
+
+    Bigger tiles amortize grid overhead; the cap keeps the double-buffered
+    VMEM input blocks (tile * n_words * 4B * 2) plus one-hot temporaries
+    within the ~16 MiB scoped-vmem budget (observed OOM at 50M x 2 words
+    with 1M tiles: 17.94M > 16M).
+    """
+    vmem_budget = 6 << 20  # bytes for input blocks
+    tile_cap = max(_CHUNK, (vmem_budget // (8 * max(n_words, 1))) // _CHUNK
+                   * _CHUNK)
     tile = _CHUNK
-    # Bigger tiles amortize grid overhead; cap tiles' count to keep the
-    # (T, L, RADIX) output small.
-    while tile * 64 < n and tile < (1 << 20):
+    while tile * 64 < n and tile * 2 <= tile_cap:
         tile *= 2
     num = -(-n // tile)
     return num, tile
@@ -149,9 +156,9 @@ def _pad_tile_words(words, n, num, tile, pad_value=np.uint32(0xFFFFFFFF)):
 @functools.partial(jax.jit, static_argnames=("n_bytes", "n"))
 def _multi_level_device(words, n_bytes: int, n: int):
     """Device part: (L, 256) int32 counts (pads excluded) + (L,) sorted."""
-    num, tile = _choose_tiling(n)
-    tiled = _pad_tile_words(words, n, num, tile)
     n_words = len(words)
+    num, tile = _choose_tiling(n, n_words)
+    tiled = _pad_tile_words(words, n, num, tile)
     # level l: word index from the right, shift within word
     word_of_level = tuple(n_words - 1 - (l // 4) for l in range(n_bytes))
     shifts = tuple((l % 4) * 8 for l in range(n_bytes))
@@ -214,7 +221,7 @@ def level_histogram(words, level: int) -> jax.Array:
     n_words = len(words)
     widx = n_words - 1 - (level // 4)
     shift = (level % 4) * 8
-    num, tile = _choose_tiling(n)
+    num, tile = _choose_tiling(n, 1)
     tiled = _pad_tile_words((words[widx],), n, num, tile)
     kernel = functools.partial(
         _hist_kernel, shifts=(shift,), tile=tile, n_words=1,

@@ -16,7 +16,7 @@ sharded row-wise over the mesh axis; operators compose:
 """
 from __future__ import annotations
 
-from typing import Mapping, Sequence
+from typing import Mapping
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rdst_tpu import keys as _keys
 from rdst_tpu.builder import _encode_payload
-from rdst_tpu.parallel.shuffle import distributed_sort, gather_valid
+from rdst_tpu.parallel.shuffle import distributed_sort
 from rdst_tpu.table.table import Table
 from rdst_tpu.table import ops as tops
 

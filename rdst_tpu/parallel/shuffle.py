@@ -38,8 +38,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from rdst_tpu.sorts.comparative import comparative_sort
-
 __all__ = ["distributed_sort", "make_mesh"]
 
 #: Partition granularity: top 16 bits. The reference's MSB level is one

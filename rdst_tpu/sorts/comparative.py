@@ -17,7 +17,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax
-import jax.numpy as jnp
 
 __all__ = ["comparative_sort"]
 

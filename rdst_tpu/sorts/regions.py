@@ -66,9 +66,10 @@ def chunked_sort(
     runs = []
     for c in range(n_chunks):
         chunk = [p[c * m : (c + 1) * m] for p in planes]
-        srt = jax.lax.sort(
-            tuple(chunk), num_keys=n_words, is_stable=stable or True
-        )
+        # always stable: the merge tiebreak planes preserve cross-chunk
+        # order, but within-chunk order must already be stable for the
+        # stable=True contract (and pads must stay behind equal real keys)
+        srt = jax.lax.sort(tuple(chunk), num_keys=n_words, is_stable=True)
         runs.append(list(srt))
 
     merged = merge_many(runs, n_words, stable=True)

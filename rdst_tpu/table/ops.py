@@ -141,6 +141,11 @@ def group_aggregate(
 
     srt, key_words = _sort_rows(table, by_list, stable=True)
     n = srt.n_rows
+    if n == 0:
+        out_cols = {name: srt.column(name) for name in by_list}
+        for out_name in aggs:
+            out_cols[out_name] = jnp.zeros((0,), jnp.float32)
+        return Table(out_cols), jnp.int32(0)
     starts = _segment_starts(key_words)
     seg_id = jnp.cumsum(starts.astype(jnp.int32)) - 1  # 0-based group index
     count = seg_id[-1] + 1
@@ -252,7 +257,7 @@ def join(
     if how == "left":
         return t, jnp.sum(matched.astype(jnp.int32))
     ft, cnt = filter(t, matched)
-    return ft, cnt
+    return ft.select([c for c in ft.column_names if c != "_matched"]), cnt
 
 
 def _multiword_searchsorted(sorted_words, query_words):

@@ -1,0 +1,94 @@
+"""Large-input acceptance checks on the real TPU.
+
+The reference's comparison suites run to 50M elements in release mode
+(test_utils.rs:63-95, CI rust.yml:32); the CPU-mesh pytest suite keeps
+sizes small, so this script drives the big sizes on the actual chip.
+
+    python scripts/tpu_acceptance.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np
+
+
+def check(name, ok):
+    print(("PASS " if ok else "FAIL ") + name, flush=True)
+    return ok
+
+
+def main():
+    import rdst_tpu as rt
+    from rdst_tpu import keys as rkeys
+
+    rng = np.random.default_rng(0)
+    all_ok = True
+
+    # 50M u32/u64 through the comparative plan (the large-n compile the
+    # bucketed pipeline triggers at 50M overwhelms the remote compiler in
+    # this environment; the tuner path is exercised at 20M below)
+    n = 50_000_000
+    x = rng.integers(0, 2**32, n, dtype=np.int64).astype(np.uint32)
+    t0 = time.perf_counter()
+    got = rt.radix_sort_builder(x).with_algorithm(
+        rt.Algorithm.COMPARATIVE).sort()
+    dt = time.perf_counter() - t0
+    all_ok &= check(f"u32 50M comparative ({dt:.1f}s e2e)",
+                    np.array_equal(got, np.sort(x)))
+    k = rng.integers(0, 2**64, n, dtype=np.uint64)
+    got = rt.radix_sort_builder(k).with_algorithm(
+        rt.Algorithm.COMPARATIVE).sort()
+    all_ok &= check("u64 50M comparative", np.array_equal(got, np.sort(k)))
+    del k, got
+
+    # 20M u32 through the DEFAULT pipeline (tuner picks the bucketed plan)
+    m0 = 20_000_000
+    x2 = rng.integers(0, 2**32, m0, dtype=np.int64).astype(np.uint32)
+    t0 = time.perf_counter()
+    got = rt.radix_sort_unstable(x2)
+    dt = time.perf_counter() - t0
+    all_ok &= check(f"u32 20M default/tuner pipeline ({dt:.1f}s e2e)",
+                    np.array_equal(got, np.sort(x2)))
+    del x2, got
+
+    # 20M u64 + payload, stable
+    m = 20_000_000
+    k2 = rng.integers(0, 2**32, m, dtype=np.uint64)  # dup-heavy
+    v = np.arange(m, dtype=np.uint32)
+    ks, vs = rt.sort_key_value(k2, v, stable=True)
+    order = np.argsort(k2, kind="stable")
+    all_ok &= check(
+        "u64 20M + payload stable",
+        np.array_equal(ks, k2[order]) and np.array_equal(vs, v[order]),
+    )
+    del k2, v, ks, vs
+
+    # 20M f64 total order with specials sprinkled
+    f = rng.standard_normal(m)
+    f[:: m // 1000] = np.nan
+    f[1 :: m // 1000] = -np.inf
+    got = rt.radix_sort_unstable(f)
+    nk = rkeys.normalize(f)
+    hi, lo = (np.asarray(w) for w in nk.words)
+    want = f[np.lexsort((lo, hi))]
+    all_ok &= check(
+        "f64 20M with NaN/Inf", np.array_equal(
+            got.view(np.uint64), want.view(np.uint64))
+    )
+
+    # 10M Zipf through the full tuner path (skew regime)
+    z = (rng.zipf(1.3, 10_000_000) % (2**31)).astype(np.uint32)
+    got = rt.radix_sort_unstable(z)
+    all_ok &= check("zipf 10M tuner path", np.array_equal(got, np.sort(z)))
+
+    print("ALL OK" if all_ok else "FAILURES PRESENT", flush=True)
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == "__main__":
+    main()
