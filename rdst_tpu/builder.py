@@ -193,12 +193,16 @@ def _encode_payload(p):
             lo = (u & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
 
         def decode64(ws, dt=dt):
-            u = (ws[0].astype(np.uint64) << np.uint64(32)) | ws[1].astype(
-                np.uint64
-            )
-            if _x64_enabled() and not isinstance(u, np.ndarray):
+            # without x64, jnp astype(uint64) silently truncates to uint32 —
+            # the hi/lo join must happen on the host then
+            if _x64_enabled() and not isinstance(ws[0], np.ndarray):
+                u = (ws[0].astype(jnp.uint64) << np.uint64(32)) | ws[
+                    1
+                ].astype(jnp.uint64)
                 return jax.lax.bitcast_convert_type(u, np.dtype(dt.name))
-            return np.asarray(u).view(dt.name)
+            hi = np.asarray(ws[0]).astype(np.uint64)
+            lo = np.asarray(ws[1]).astype(np.uint64)
+            return ((hi << np.uint64(32)) | lo).view(dt.name)
 
         return (hi, lo), decode64
     if dt.itemsize <= 4:

@@ -165,24 +165,13 @@ def _float_fold(u: jax.Array, nbits: int) -> jax.Array:
     ``s ^= ((s >> (nbits-1)) as unsigned) >> 1; s ^= MIN``
     (radix_key_impl.rs:162-185). Negative floats get all bits flipped;
     positive floats get only the sign bit flipped. This is an involution up
-    to the final sign-bit xor; see :func:`_float_unfold`.
+    to the final sign-bit xor; see :func:`_float_unfold_xp`.
     """
     sign = u >> np.array(nbits - 1, dtype=u.dtype)  # 0 or 1
     # arithmetic-shift-all-ones emulation: 0 -> 0, 1 -> 0x7FF..F
     mask = sign * np.array((1 << (nbits - 1)) - 1, dtype=u.dtype)
     top = np.array(1 << (nbits - 1), dtype=u.dtype)
     return (u ^ mask) ^ top
-
-
-def _float_unfold(t: jax.Array, nbits: int) -> jax.Array:
-    top = np.array(1 << (nbits - 1), dtype=t.dtype)
-    was_negative = (t >> np.array(nbits - 1, dtype=t.dtype)) == 0
-    mask = jnp.where(
-        was_negative,
-        np.array((1 << nbits) - 1, dtype=t.dtype),  # flip everything back
-        top,
-    )
-    return t ^ mask
 
 
 def _normalize_float(x) -> tuple[tuple[jax.Array, ...], int]:
@@ -370,5 +359,10 @@ def _denormalize_impl(words, n_bytes: int, meta: tuple, xp):
     if dt == np.float16:
         return _bitcast(
             _float_unfold_xp(words[0].astype(np.uint16), 16, xp), np.float16
+        )
+    if dt == jnp.bfloat16:
+        return _bitcast(
+            _float_unfold_xp(words[0].astype(np.uint16), 16, xp),
+            jnp.bfloat16,
         )
     raise TypeError(f"cannot denormalize {dt}")

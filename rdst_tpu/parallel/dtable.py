@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rdst_tpu import keys as _keys
-from rdst_tpu.builder import _encode_payload
+from rdst_tpu.builder import _encode_payload, _has_64bit_keys, _x64_enabled
 from rdst_tpu.parallel.shuffle import distributed_sort
 from rdst_tpu.table.table import Table
 from rdst_tpu.table import ops as tops
@@ -48,9 +48,11 @@ def _encode_table(table: Table, by):
 
 
 def _decode_table(by, nk, other, enc, out_words, out_payloads):
-    sorted_keys = _keys.denormalize(
-        _keys.NormalizedKeys(tuple(out_words), nk.n_bytes, nk.meta)
-    )
+    out_nk = _keys.NormalizedKeys(tuple(out_words), nk.n_bytes, nk.meta)
+    if _has_64bit_keys(nk) and not _x64_enabled():
+        sorted_keys = _keys.denormalize_host(out_nk)
+    else:
+        sorted_keys = _keys.denormalize(out_nk)
     if len(by) == 1:
         sorted_keys = (sorted_keys,)
     cols = dict(zip(by, sorted_keys))

@@ -77,27 +77,23 @@ def _adaptive_buckets(sorted_words, axis: str) -> jax.Array:
     adaptation of SURVEY.md §7 at the partitioning level — the same signal
     the packed LSB plan uses to drop constant byte planes.
     """
-    w0 = sorted_words[0]
-    gmin0 = jax.lax.pmin(jnp.min(w0), axis)
-    span0 = jax.lax.pmax(jnp.max(w0), axis) - gmin0
-    bl0 = _bit_length(span0)
-    b0 = jnp.minimum(bl0, 16)  # bits taken from word 0
-    shift0 = (bl0 - b0).astype(jnp.uint32)
-    hi = jnp.right_shift(w0 - gmin0, shift0).astype(jnp.int32)  # < 2^b0
-    r = (16 - b0).astype(jnp.int32)  # remaining bits from word 1
-    if len(sorted_words) > 1:
-        w1 = sorted_words[1]
-        gmin1 = jax.lax.pmin(jnp.min(w1), axis)
-        span1 = jax.lax.pmax(jnp.max(w1), axis) - gmin1
-        shift1 = jnp.maximum(_bit_length(span1) - r, 0).astype(jnp.uint32)
-        lo = jnp.right_shift(w1 - gmin1, shift1).astype(jnp.int32)
-        lo = jnp.minimum(lo, (1 << r) - 1)  # r == 0 -> lo forced to 0
-    else:
-        lo = jnp.int32(0)
-        r = jnp.int32(0)
-    # hi dominates (lexicographic), lo refines within equal-hi groups:
-    # monotone in the full key either way.
-    return (hi << r) | lo
+    # Walk ALL word planes most-significant first, allocating the 16
+    # bucket bits to each word's globally-varying bit range until the
+    # budget is spent. Earlier words dominate (lexicographic), later
+    # words refine within equal-prefix groups — monotone in the full key.
+    remaining = jnp.int32(16)
+    result = jnp.zeros(sorted_words[0].shape, jnp.int32)
+    for w in sorted_words:
+        gmin = jax.lax.pmin(jnp.min(w), axis)
+        span = jax.lax.pmax(jnp.max(w), axis) - gmin
+        bl = _bit_length(span)
+        b = jnp.minimum(bl, remaining)  # bits taken from this word
+        shift = (bl - b).astype(jnp.uint32)
+        part = jnp.right_shift(w - gmin, shift).astype(jnp.int32)
+        part = jnp.minimum(part, (jnp.int32(1) << b) - 1)
+        result = (result << b) | part
+        remaining = remaining - b
+    return result
 
 
 def _local_shard_body(
@@ -132,11 +128,17 @@ def _local_shard_body(
     local_hist = (edges[1:] - edges[:-1]).astype(jnp.int32)
     global_hist = jax.lax.psum(local_hist, axis)
 
-    # 3. monotone bucket -> device assignment by cumulative share
+    # 3. monotone bucket -> device assignment by cumulative share.
+    # float32 math: cum_mid * D overflows int32 past ~2^31/D elements,
+    # and float rounding only nudges bucket boundaries (assignment stays
+    # monotone, balance error is a few elements).
     total = jnp.maximum(jnp.sum(global_hist), 1)
     cum_mid = jnp.cumsum(global_hist) - global_hist // 2  # midpoint rank
+    frac = cum_mid.astype(jnp.float32) * jnp.float32(D) / total.astype(
+        jnp.float32
+    )
     dev_of_bucket = jnp.clip(
-        (cum_mid * D) // jnp.maximum(total, 1), 0, D - 1
+        frac.astype(jnp.int32), 0, D - 1
     ).astype(jnp.int32)  # nondecreasing in bucket
 
     # send segment for device d = my elements whose bucket maps to d;

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rdst_tpu import keys as _keys
-from rdst_tpu.builder import _encode_payload
+from rdst_tpu.builder import _encode_payload, _has_64bit_keys, _x64_enabled
 from rdst_tpu.table.table import Table
 
 __all__ = ["sort_by", "filter", "group_aggregate", "join"]
@@ -58,9 +58,12 @@ def _sort_rows(table: Table, by, *, stable=True, extra_key=None):
     )
     out_words = list(out[: nk.n_words])
     out_payloads = out[nk.n_words:]
-    sorted_keys = _keys.denormalize(
-        _keys.NormalizedKeys(tuple(out_words), nk.n_bytes, nk.meta)
-    )
+    out_nk = _keys.NormalizedKeys(tuple(out_words), nk.n_bytes, nk.meta)
+    if _has_64bit_keys(nk) and not _x64_enabled():
+        # device denormalize would truncate 64-bit keys without x64
+        sorted_keys = _keys.denormalize_host(out_nk)
+    else:
+        sorted_keys = _keys.denormalize(out_nk)
     if len(fields) == 1:
         sorted_keys = (sorted_keys,)
     cols = {}
@@ -178,37 +181,60 @@ def group_aggregate(
                 sizes = _segment_sizes(gstart, gend)
             out_cols[out_name] = sizes
         elif op in ("sum", "mean"):
-            acc = jnp.cumsum(c.astype(jnp.float32))
-            ends = jnp.take(acc, gend)
-            starts_excl = jnp.where(
-                gstart > 0, jnp.take(acc, jnp.maximum(gstart - 1, 0)), 0.0
-            )
-            ssum = ends - starts_excl
+            ssum = _segment_sum(c, gstart, gend)
             if op == "sum":
                 out_cols[out_name] = ssum
             else:
                 if sizes is None:
                     sizes = _segment_sizes(gstart, gend)
-                out_cols[out_name] = ssum / jnp.maximum(sizes, 1)
+                out_cols[out_name] = ssum.astype(jnp.float32) / jnp.maximum(
+                    sizes, 1
+                )
         elif op == "first":
             out_cols[out_name] = jnp.take(c, gstart)
         elif op == "last":
             out_cols[out_name] = jnp.take(c, gend)
 
+    value_sorted: dict = {}  # one (key, value)-ordered sort per column
     for out_name, (col, op) in minmax.items():
         # sort (key, value) pairs; min = first of segment, max = last
-        srt2, kw2 = _sort_rows(
-            table.select(by_list + [col]), by_list, stable=True,
-            extra_key=col,
-        )
+        if col not in value_sorted:
+            value_sorted[col], _ = _sort_rows(
+                table.select(by_list + [col]), by_list, stable=True,
+                extra_key=col,
+            )
         idx = gstart if op == "min" else gend
-        out_cols[out_name] = jnp.take(srt2.column(col), idx)
+        out_cols[out_name] = jnp.take(value_sorted[col].column(col), idx)
 
     return Table(out_cols), count
 
 
 def _segment_sizes(gstart, gend):
     return (gend - gstart + 1).astype(jnp.int32)
+
+
+def _segment_sum(c, gstart, gend):
+    """Exact segmented sums via cumsum differences at boundaries.
+
+    Integer columns accumulate in int64 (x64) or uint32 modular
+    arithmetic — wrapped-cumsum differences are exact as long as each
+    group's true sum fits the accumulator width (float32 cumsum, by
+    contrast, silently loses integer exactness past 2^24). Float columns
+    accumulate in float64 when x64 is enabled.
+    """
+    x64 = jax.config.jax_enable_x64
+    if jnp.issubdtype(c.dtype, jnp.integer) or c.dtype == jnp.bool_:
+        acc_dt = jnp.int64 if x64 else jnp.uint32
+    else:
+        acc_dt = jnp.float64 if x64 else jnp.float32
+    acc = jnp.cumsum(c.astype(acc_dt))
+    ends = jnp.take(acc, gend)
+    starts_excl = jnp.where(
+        gstart > 0,
+        jnp.take(acc, jnp.maximum(gstart - 1, 0)),
+        jnp.zeros((), acc_dt),
+    )
+    return ends - starts_excl
 
 
 def join(
@@ -288,20 +314,18 @@ def _multiword_searchsorted(sorted_words, query_words):
             idxc = jnp.minimum(idx, s.shape[0] - 1)
             matched = jnp.take(s, idxc) == q
             return idxc, matched
-        # no x64: float64 packs 52 bits exactly — compare hi word first,
-        # then refine among equal-hi runs with the lo word.
-        s_hi, s_lo = sorted_words
-        q_hi, q_lo = query_words
-        base = jnp.searchsorted(s_hi, q_hi, side="left").astype(jnp.int32)
-        end = jnp.searchsorted(s_hi, q_hi, side="right").astype(jnp.int32)
-        # within [base, end) s_lo is sorted; nested searchsorted per query
-        # via masked global positions: emulate with s_lo + infinity mask is
-        # not possible without gather loops; v1 uses a second searchsorted
-        # on a combined f64-safe key when ranges are small. Fallback: exact
-        # scan via take at base (covers unique-hi case).
-        idxc = jnp.minimum(base, s_hi.shape[0] - 1)
-        matched = (jnp.take(s_hi, idxc) == q_hi) & (
-            jnp.take(s_lo, idxc) == q_lo
-        ) & (base < end)
-        return idxc, matched
+        # no x64: exact 64-bit probe on the host with numpy uint64 (a
+        # first-position-only device probe misses matches whenever hi
+        # words repeat — verified in review). Joins are host-driven
+        # operators, so the round trip is acceptable.
+        s = (np.asarray(sorted_words[0]).astype(np.uint64) << np.uint64(32)) | (
+            np.asarray(sorted_words[1]).astype(np.uint64)
+        )
+        q = (np.asarray(query_words[0]).astype(np.uint64) << np.uint64(32)) | (
+            np.asarray(query_words[1]).astype(np.uint64)
+        )
+        idx = np.searchsorted(s, q, side="left").astype(np.int32)
+        idxc = np.minimum(idx, len(s) - 1)
+        matched = s[idxc] == q
+        return jnp.asarray(idxc), jnp.asarray(matched)
     raise NotImplementedError("joins support keys up to 64 bits")

@@ -19,7 +19,6 @@ def gen_bimodal(rng, n, dtype, shift):
     x = rng.integers(info.min, info.max, size=n, endpoint=True, dtype=dtype)
     half = n // 2
     if shift:
-        x[:half] = x[:half] >> dtype(shift) if False else x[:half]
         # emulate reference: half >>s, half <<s (on unsigned views)
         u = x.view(f"uint{np.dtype(dtype).itemsize * 8}")
         s = np.dtype(u.dtype).type(shift)
