@@ -10,6 +10,7 @@ EXAMPLES = [
     "single_threaded.py",
     "custom_tuner.py",
     "composite_keys.py",
+    "impl_radix_key.py",
 ]
 
 
