@@ -27,6 +27,17 @@ def pallas_interpret() -> bool:
     return not on_tpu()
 
 
+#: Size cap for the bucketed MSB plan. The (256, cap) padded-bucket
+#: pipeline's compile time grows steeply with input size (the batched
+#: sort + ragged writeback graph); above this many elements the plan
+#: falls back to the comparative network, which at these sizes is within
+#: ~15% of bucketed throughput anyway (BENCH_NOTES.md). Override with
+#: RDST_TPU_MAX_BUCKETED or set at runtime.
+max_bucketed_elements = int(
+    os.environ.get("RDST_TPU_MAX_BUCKETED", str(20_000_000))
+)
+
+
 # work_profiles-equivalent: trace per-level algorithm picks
 # (reference: Cargo.toml:18, src/sorter.rs:78-79).
 _work_profiles = [os.environ.get("RDST_TPU_WORK_PROFILES", "0") not in ("0", "")]

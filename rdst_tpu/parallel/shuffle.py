@@ -44,9 +44,12 @@ __all__ = ["distributed_sort", "make_mesh"]
 #: byte (sorter.rs:106-119); two bytes gives 256x finer bucket->device
 #: splitting, which is the histogram-driven "skew splitting" of SURVEY.md
 #: §7 — a bucket hotter than one device's share splits across devices at
-#: the next byte automatically. (A single hot 16-bit prefix can still
-#: overflow one device; capacity_factor + the OverflowError signal cover
-#: detection, replicate-and-merge is future work.)
+#: the next byte automatically. Hotter still (a single repeated key):
+#: single-key buckets are detected and split across devices by exact
+#: global stable rank, so even an all-equal input balances perfectly.
+#: The only residual overflow risk is a hot bucket containing MULTIPLE
+#: distinct keys beyond the 16 window bits; capacity_factor + the
+#: OverflowError signal cover that.
 N_BUCKETS = 1 << 16
 PAD_WORD = np.uint32(0xFFFFFFFF)
 
@@ -119,37 +122,76 @@ def _local_shard_body(
     # nondecreasing after the local sort (monotone function of the key)
     buckets = _adaptive_buckets(sorted_all[:n_keys], axis)
 
-    # 2. global top-16-bit histogram (psum of local histograms). Buckets are
-    # sorted, so the histogram is a searchsorted diff — O(R log n), no
-    # one-hot materialization.
+    # 2. global top-16-bit histogram. Buckets are sorted, so the local
+    # histogram is a searchsorted diff — O(R log n), no one-hot
+    # materialization. The full (D, R) matrix of per-sender histograms is
+    # gathered because the stable-rank split below needs each sender's
+    # within-bucket offset (the distributed aggregate_tile_counts,
+    # sort_utils.rs:247-249, with devices as tiles).
     edges = jnp.searchsorted(
         buckets, jnp.arange(N_BUCKETS + 1, dtype=jnp.int32), side="left"
     )
     local_hist = (edges[1:] - edges[:-1]).astype(jnp.int32)
-    global_hist = jax.lax.psum(local_hist, axis)
+    hist_matrix = jax.lax.all_gather(local_hist, axis)  # (D, R)
+    global_hist = jnp.sum(hist_matrix, axis=0)
 
-    # 3. monotone bucket -> device assignment by cumulative share.
-    # float32 math: cum_mid * D overflows int32 past ~2^31/D elements,
-    # and float rounding only nudges bucket boundaries (assignment stays
-    # monotone, balance error is a few elements).
+    # 2b. single-key ("uniform") bucket detection. A bucket whose global
+    # key set is ONE value can be split across devices at any rank without
+    # breaking sortedness — that's the pod-scale version of ska_sort's
+    # dominant-bucket special-casing (ska_sort.rs:52-65) and the fix for
+    # degenerate/Zipf-hot keys that would otherwise overflow one device.
+    # Detection: for every key word, the global min of per-device segment
+    # minima equals the global max of segment maxima. Within a locally
+    # sorted bucket segment the first element carries the minimum of the
+    # most-significant differing word and the last the maximum, which is
+    # exactly what the equality test needs (lower words only matter when
+    # all higher words are constant, in which case first/last are the
+    # true extrema for them too).
+    first_idx = jnp.clip(edges[:-1], 0, n_local - 1)
+    last_idx = jnp.clip(edges[1:] - 1, 0, n_local - 1)
+    nonempty = local_hist > 0
+    uniform = jnp.ones((N_BUCKETS,), jnp.bool_)
+    for w in sorted_all[:n_keys]:
+        lmin = jnp.where(nonempty, jnp.take(w, first_idx), PAD_WORD)
+        lmax = jnp.where(nonempty, jnp.take(w, last_idx), np.uint32(0))
+        gmin = jax.lax.pmin(lmin, axis)
+        gmax = jax.lax.pmax(lmax, axis)
+        uniform = uniform & (gmin == gmax)
+
+    # 3. destination assignment by global stable rank. Device d owns the
+    # stable-rank range [Rd[d], Rd[d+1]); an element's stable rank is
+    # (bucket start) + (earlier senders' count in my bucket) + (my local
+    # offset). Uniform buckets are split exactly at the range boundaries
+    # (perfect balance); mixed-key buckets are assigned atomically by
+    # their midpoint rank (a split there could send key-order across
+    # devices in the wrong direction). Both rules use the SAME integer
+    # boundary vector Rd so the per-bucket take counts form a consistent
+    # staircase and every send segment is a contiguous slice.
+    # float32 rank math: d * total overflows int32; float rounding only
+    # nudges boundaries by elements and is identical on every device.
     total = jnp.maximum(jnp.sum(global_hist), 1)
-    cum_mid = jnp.cumsum(global_hist) - global_hist // 2  # midpoint rank
-    frac = cum_mid.astype(jnp.float32) * jnp.float32(D) / total.astype(
-        jnp.float32
-    )
-    dev_of_bucket = jnp.clip(
-        frac.astype(jnp.int32), 0, D - 1
-    ).astype(jnp.int32)  # nondecreasing in bucket
-
-    # send segment for device d = my elements whose bucket maps to d;
-    # contiguous because buckets are sorted. send_sizes via per-device sums
-    # over the (small) bucket histogram — no per-element gather needed.
-    dev_iota = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
-    send_sizes = jnp.sum(
-        jnp.where(dev_of_bucket[None, :] == dev_iota, local_hist[None, :], 0),
-        axis=1,
-    ).astype(jnp.int32)  # (D,)
-    input_offsets = jnp.cumsum(send_sizes) - send_sizes
+    cum = jnp.cumsum(global_hist)
+    bstart = cum - global_hist  # exclusive start rank per bucket
+    cum_mid = cum - global_hist // 2  # midpoint rank (atomic rule)
+    share = total.astype(jnp.float32) / jnp.float32(D)
+    d_iota = jax.lax.broadcasted_iota(jnp.float32, (D + 1, 1), 0)[:, 0]
+    Rd = (d_iota * share).astype(jnp.int32)
+    Rd = Rd.at[D].set(total.astype(jnp.int32))  # exact top boundary
+    # my within-bucket stable offset: earlier senders' counts
+    sender_iota = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
+    o_me = jnp.sum(
+        jnp.where(sender_iota < me, hist_matrix, 0), axis=0
+    )  # (R,)
+    c_me = local_hist
+    # take_lt[d, b] = how many of MY bucket-b elements go to devices < d
+    rank_cut = Rd[:, None] - (bstart + o_me)[None, :]  # (D+1, R)
+    take_uniform = jnp.clip(rank_cut, 0, c_me[None, :])
+    atomic_below = (cum_mid[None, :] < Rd[:, None]).astype(jnp.int32)
+    take_atomic = atomic_below * c_me[None, :]
+    take_lt = jnp.where(uniform[None, :], take_uniform, take_atomic)
+    boundary = jnp.sum(take_lt, axis=1).astype(jnp.int32)  # (D+1,)
+    send_sizes = boundary[1:] - boundary[:-1]  # (D,)
+    input_offsets = boundary[:-1]
 
     # 4. size matrix via all_gather -> offsets in receiver buffers
     size_matrix = jax.lax.all_gather(send_sizes, axis)  # (D, D)[sender, dst]

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rdst_tpu import config
 from rdst_tpu.ops.ragged_concat import ragged_concat_multi
 from rdst_tpu.sorts.comparative import comparative_sort
 
@@ -60,6 +61,11 @@ def bucketed_sort(
     payloads = list(payloads)
     n = int(words[0].shape[0])
     if counts is None:
+        return comparative_sort(words, payloads, stable=stable)
+    if n > config.max_bucketed_elements:
+        # compile-time guard: the padded-bucket graph's compile cost grows
+        # steeply with n (config.max_bucketed_elements); the comparative
+        # network is within ~15% at these sizes and compiles fast
         return comparative_sort(words, payloads, stable=stable)
     top = counts[-1]  # most significant level histogram
     cap = _round_up(max(int(top.max()), 8), 8)

@@ -64,12 +64,58 @@ def test_distributed_sort_skewed(mesh, rng):
     np.testing.assert_array_equal(dense, np.sort(x))
 
 
-def test_distributed_sort_all_equal(mesh):
+def test_distributed_sort_all_equal_balanced(mesh):
+    """Degenerate single-value keys: the single-key bucket is split by
+    exact stable rank, so the load balances perfectly — no capacity
+    headroom needed (previously this required capacity_factor=9)."""
     n = 1 << 13
     x = np.full(n, 7, dtype=np.uint32)
     nk = rkeys.normalize(x)
     words, _, counts = distributed_sort(
-        list(nk.words), mesh=mesh, capacity_factor=9.0
+        list(nk.words), mesh=mesh, capacity_factor=1.05
     )
+    counts = np.asarray(counts)
+    assert counts.max() == n // 8  # perfect split across 8 devices
     dense = gather_valid(words, counts)[0]
     np.testing.assert_array_equal(dense, x)
+
+
+def test_distributed_sort_hot_key_balanced(mesh, rng):
+    """One key holds 75% of the rows (Zipf-style hot key). The hot key's
+    bucket is single-keyed, so rank splitting spreads it across devices
+    within modest capacity."""
+    n = 1 << 14
+    hot = np.full(3 * n // 4, 0xDEADBEEF, dtype=np.uint32)
+    rest = rng.integers(0, 2**32, size=n // 4, dtype=np.uint32)
+    x = np.concatenate([hot, rest])
+    rng.shuffle(x)
+    nk = rkeys.normalize(x)
+    words, _, counts = distributed_sort(
+        list(nk.words), mesh=mesh, capacity_factor=1.5
+    )
+    counts = np.asarray(counts)
+    assert counts.max() <= int(1.5 * n / 8)
+    dense = gather_valid(words, counts)[0]
+    np.testing.assert_array_equal(dense, np.sort(x))
+
+
+def test_distributed_sort_hot_key_stable_payload(mesh, rng):
+    """Stability across a rank-split hot key: payloads of equal keys must
+    arrive in original order even when the key's run spans devices."""
+    n = 1 << 13
+    x = np.where(
+        rng.random(n) < 0.7,
+        np.uint32(42),
+        rng.integers(0, 100, n).astype(np.uint32),
+    )
+    payload = np.arange(n, dtype=np.uint32)
+    nk = rkeys.normalize(x)
+    words, payloads, counts = distributed_sort(
+        list(nk.words), [payload], mesh=mesh, stable=True,
+        capacity_factor=1.5,
+    )
+    dense = gather_valid(list(words) + list(payloads), counts)
+    got_keys, got_payload = dense
+    order = np.argsort(x, kind="stable")
+    np.testing.assert_array_equal(got_keys, x[order])
+    np.testing.assert_array_equal(got_payload, payload[order])
