@@ -1,5 +1,6 @@
 from rdst_tpu.parallel.shuffle import (
     distributed_sort,
+    partition_exchange,
     gather_valid,
     make_mesh,
 )
@@ -7,13 +8,16 @@ from rdst_tpu.parallel.dtable import (
     distributed_sort_table,
     distributed_filter,
     distributed_group_aggregate,
+    distributed_join,
 )
 
 __all__ = [
     "distributed_sort",
+    "partition_exchange",
     "gather_valid",
     "make_mesh",
     "distributed_sort_table",
     "distributed_filter",
     "distributed_group_aggregate",
+    "distributed_join",
 ]

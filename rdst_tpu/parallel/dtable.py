@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rdst_tpu import keys as _keys
 from rdst_tpu.builder import _encode_payload, _has_64bit_keys, _x64_enabled
-from rdst_tpu.parallel.shuffle import distributed_sort
+from rdst_tpu.parallel.shuffle import distributed_sort, partition_exchange
 from rdst_tpu.table.table import Table
 from rdst_tpu.table import ops as tops
 
@@ -33,6 +33,7 @@ __all__ = [
     "distributed_sort_table",
     "distributed_filter",
     "distributed_group_aggregate",
+    "distributed_join",
 ]
 
 
@@ -172,3 +173,128 @@ def distributed_group_aggregate(
     dense = Table(cols)
     out, n_groups = tops.group_aggregate(dense, by_list, aggs)
     return out, n_groups
+
+
+def _densify(table: Table, counts) -> list[Table]:
+    """Per-device dense Table slices from capacity-padded columns."""
+    cnts = np.asarray(counts)
+    D = cnts.shape[0]
+    cols = {}
+    for name in table.column_names:
+        col = np.asarray(table.column(name)).reshape(D, -1)
+        if (cnts > col.shape[1]).any():
+            raise OverflowError(
+                "shuffle capacity exceeded; raise capacity_factor"
+            )
+        cols[name] = col
+    return [
+        Table({k: v[d, : cnts[d]] for k, v in cols.items()}) for d in range(D)
+    ]
+
+
+def distributed_join(
+    left: Table,
+    right: Table,
+    on,
+    *,
+    mesh: Mesh,
+    axis: str = "shard",
+    how: str = "inner",
+    suffix: str = "_r",
+    capacity_factor: float = 2.0,
+    right_capacity_factor: float | None = None,
+):
+    """Distributed sort-merge equi-join (``right`` keys unique, pk-fk).
+
+    Both sides are co-partitioned by the SAME range partition (SURVEY.md
+    §7 step 7: "partition both sides by the same MSB shuffle"): the left
+    table's shuffle derives an entropy-adaptive partition with
+    device-atomic buckets (``split_uniform=False`` — equal keys must not
+    straddle devices), the right table is routed through
+    ``partition_exchange`` with that partition, and per-device local
+    joins concatenate to the exact global join. v1 densifies per-device
+    slices on the host for the local joins, like
+    :func:`distributed_group_aggregate` — the expensive phases (two sorts
+    + two exchanges) are fully distributed.
+
+    Returns ``(Table, match_count)`` with :func:`rdst_tpu.table.ops.join`
+    semantics.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    on_list = [on] if isinstance(on, str) else list(on)
+    if right_capacity_factor is None:
+        right_capacity_factor = capacity_factor
+
+    by, nk, other, enc, payload_words = _encode_table(left, on_list)
+    words, payloads, counts, part = distributed_sort(
+        list(nk.words), payload_words, mesh=mesh, axis=axis,
+        capacity_factor=capacity_factor, stable=True,
+        split_uniform=False, return_partition=True,
+    )
+    left_cols = _decode_table(by, nk, other, enc, words, payloads)
+    left_sh = Table({c: left_cols[c] for c in left.column_names})
+    left_parts = _densify(left_sh, counts)
+
+    rby, rnk, rother, renc, rpayload_words = _encode_table(right, on_list)
+    if rnk.n_words != nk.n_words:
+        raise TypeError(
+            "join key dtypes must normalize to the same width on both sides"
+        )
+    rwords, rpayloads, rcounts = partition_exchange(
+        list(rnk.words), rpayload_words, part, mesh=mesh, axis=axis,
+        capacity_factor=right_capacity_factor, stable=True,
+    )
+    right_cols = _decode_table(rby, rnk, rother, renc, rwords, rpayloads)
+    right_sh = Table({c: right_cols[c] for c in right.column_names})
+    right_parts = _densify(right_sh, rcounts)
+
+    pieces: list[Table] = []
+    total = 0
+    for lt, rt in zip(left_parts, right_parts):
+        if lt.n_rows == 0:
+            continue
+        if rt.n_rows == 0:
+            if how == "inner":
+                continue
+            # left join against an empty right shard: fill right columns
+            cols = {c: np.asarray(lt.column(c)) for c in lt.column_names}
+            for name in right.column_names:
+                if name in on_list:
+                    continue
+                out_name = name + (
+                    suffix if name in left.column_names else ""
+                )
+                cols[out_name] = np.zeros(
+                    lt.n_rows, dtype=np.asarray(right.column(name)).dtype
+                )
+            cols["_matched"] = np.zeros(lt.n_rows, dtype=bool)
+            pieces.append(Table(cols))
+            continue
+        jt, cnt = tops.join(lt, rt, on_list, how=how, suffix=suffix)
+        total += int(cnt)
+        if how == "inner":
+            # tops.join keeps static length (matched rows packed first);
+            # truncate so the concatenation is densely packed
+            jt = Table(
+                {
+                    c: np.asarray(jt.column(c))[: int(cnt)]
+                    for c in jt.column_names
+                }
+            )
+        pieces.append(jt)
+    if not pieces:
+        # empty result with the joined schema
+        jt, _ = tops.join(left, right, on_list, how=how, suffix=suffix)
+        schema = jt.column_names
+        return Table(
+            {c: np.asarray(jt.column(c))[:0] for c in schema}
+        ), 0
+    names = pieces[0].column_names
+    out = Table(
+        {
+            c: np.concatenate([np.asarray(p.column(c)) for p in pieces])
+            for c in names
+        }
+    )
+    return out, total

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["distributed_sort", "make_mesh"]
+__all__ = ["distributed_sort", "partition_exchange", "make_mesh"]
 
 #: Partition granularity: top 16 bits. The reference's MSB level is one
 #: byte (sorter.rs:106-119); two bytes gives 256x finer bucket->device
@@ -69,34 +69,59 @@ def _bit_length(x: jax.Array) -> jax.Array:
     return bits
 
 
-def _adaptive_buckets(sorted_words, axis: str) -> jax.Array:
-    """Monotone 16-bit bucket ids adapted to the keys' varying bits.
+def _window_params(words, axis: str):
+    """Entropy-adaptive 16-bit window parameters per key word.
 
     A fixed top-16-bit window collapses low-entropy keys (e.g. all values
     < 2^16, or u64 keys whose high word is constant) into one bucket and
-    therefore one device. Instead: find the most significant word that
-    varies globally (pmin/pmax collectives), and slide a 16-bit window
-    over its varying bit range. This is the histogram-driven skew/entropy
-    adaptation of SURVEY.md §7 at the partitioning level — the same signal
-    the packed LSB plan uses to drop constant byte planes.
+    therefore one device. Instead: walk ALL word planes most-significant
+    first, allocating the 16 bucket bits to each word's globally-varying
+    bit range (pmin/pmax collectives) until the budget is spent. This is
+    the histogram-driven skew/entropy adaptation of SURVEY.md §7 at the
+    partitioning level — the same signal the packed LSB plan uses to drop
+    constant byte planes.
+
+    Returns (gmins, shifts, bits): stacked (W,) arrays — the reusable
+    partition window that :func:`partition_exchange` applies to OTHER
+    datasets (co-partitioning for joins).
     """
-    # Walk ALL word planes most-significant first, allocating the 16
-    # bucket bits to each word's globally-varying bit range until the
-    # budget is spent. Earlier words dominate (lexicographic), later
-    # words refine within equal-prefix groups — monotone in the full key.
     remaining = jnp.int32(16)
-    result = jnp.zeros(sorted_words[0].shape, jnp.int32)
-    for w in sorted_words:
+    gmins, shifts, bits = [], [], []
+    for w in words:
         gmin = jax.lax.pmin(jnp.min(w), axis)
         span = jax.lax.pmax(jnp.max(w), axis) - gmin
         bl = _bit_length(span)
         b = jnp.minimum(bl, remaining)  # bits taken from this word
-        shift = (bl - b).astype(jnp.uint32)
-        part = jnp.right_shift(w - gmin, shift).astype(jnp.int32)
-        part = jnp.minimum(part, (jnp.int32(1) << b) - 1)
-        result = (result << b) | part
+        gmins.append(gmin)
+        shifts.append((bl - b).astype(jnp.uint32))
+        bits.append(b)
         remaining = remaining - b
+    return jnp.stack(gmins), jnp.stack(shifts), jnp.stack(bits)
+
+
+def _apply_window(words, gmins, shifts, bits) -> jax.Array:
+    """Bucket ids from window params. Earlier words dominate
+    (lexicographic), later words refine within equal-prefix groups —
+    monotone in the full key for keys inside the window's range.
+
+    Keys OUTSIDE the range (possible when a window derived from one
+    dataset is applied to another) saturate per word; the result is still
+    a deterministic function of the key — equal keys always land in the
+    same bucket — which is all co-partitioning needs (out-of-range keys
+    have no join partner by construction).
+    """
+    result = jnp.zeros(words[0].shape, jnp.int32)
+    for i, w in enumerate(words):
+        clamped = jnp.maximum(w, gmins[i]) - gmins[i]
+        part = jnp.right_shift(clamped, shifts[i]).astype(jnp.int32)
+        part = jnp.minimum(part, (jnp.int32(1) << bits[i]) - 1)
+        result = (result << bits[i]) | part
     return result
+
+
+def _adaptive_buckets(sorted_words, axis: str) -> jax.Array:
+    gmins, shifts, bits = _window_params(sorted_words, axis)
+    return _apply_window(sorted_words, gmins, shifts, bits)
 
 
 def _local_shard_body(
@@ -105,6 +130,8 @@ def _local_shard_body(
     capacity: int,
     stable: bool,
     use_ragged: bool,
+    split_uniform: bool,
+    return_partition: bool,
     *arrs,
 ):
     """shard_map body. arrs = word planes + payload planes, local shards."""
@@ -120,7 +147,8 @@ def _local_shard_body(
     )
     sorted_all = list(sorted_all)
     # nondecreasing after the local sort (monotone function of the key)
-    buckets = _adaptive_buckets(sorted_all[:n_keys], axis)
+    gmins, wshifts, wbits = _window_params(sorted_all[:n_keys], axis)
+    buckets = _apply_window(sorted_all[:n_keys], gmins, wshifts, wbits)
 
     # 2. global top-16-bit histogram. Buckets are sorted, so the local
     # histogram is a searchsorted diff — O(R log n), no one-hot
@@ -147,16 +175,21 @@ def _local_shard_body(
     # exactly what the equality test needs (lower words only matter when
     # all higher words are constant, in which case first/last are the
     # true extrema for them too).
-    first_idx = jnp.clip(edges[:-1], 0, n_local - 1)
-    last_idx = jnp.clip(edges[1:] - 1, 0, n_local - 1)
-    nonempty = local_hist > 0
-    uniform = jnp.ones((N_BUCKETS,), jnp.bool_)
-    for w in sorted_all[:n_keys]:
-        lmin = jnp.where(nonempty, jnp.take(w, first_idx), PAD_WORD)
-        lmax = jnp.where(nonempty, jnp.take(w, last_idx), np.uint32(0))
-        gmin = jax.lax.pmin(lmin, axis)
-        gmax = jax.lax.pmax(lmax, axis)
-        uniform = uniform & (gmin == gmax)
+    if split_uniform:
+        first_idx = jnp.clip(edges[:-1], 0, n_local - 1)
+        last_idx = jnp.clip(edges[1:] - 1, 0, n_local - 1)
+        nonempty = local_hist > 0
+        uniform = jnp.ones((N_BUCKETS,), jnp.bool_)
+        for w in sorted_all[:n_keys]:
+            lmin = jnp.where(nonempty, jnp.take(w, first_idx), PAD_WORD)
+            lmax = jnp.where(nonempty, jnp.take(w, last_idx), np.uint32(0))
+            gmin = jax.lax.pmin(lmin, axis)
+            gmax = jax.lax.pmax(lmax, axis)
+            uniform = uniform & (gmin == gmax)
+    else:
+        # co-partitioning mode (joins): every bucket stays atomic so a
+        # second dataset partitioned by the same window lands key-aligned
+        uniform = jnp.zeros((N_BUCKETS,), jnp.bool_)
 
     # 3. destination assignment by global stable rank. Device d owns the
     # stable-rank range [Rd[d], Rd[d+1]); an element's stable rank is
@@ -172,7 +205,11 @@ def _local_shard_body(
     total = jnp.maximum(jnp.sum(global_hist), 1)
     cum = jnp.cumsum(global_hist)
     bstart = cum - global_hist  # exclusive start rank per bucket
-    cum_mid = cum - global_hist // 2  # midpoint rank (atomic rule)
+    # midpoint rank for the atomic rule; the ceil'd half keeps every
+    # nonempty bucket's midpoint strictly below `total` (a trailing
+    # 1-element bucket would otherwise satisfy cum_mid == total == Rd[D]
+    # and be assigned to no device)
+    cum_mid = cum - (global_hist + 1) // 2
     share = total.astype(jnp.float32) / jnp.float32(D)
     d_iota = jax.lax.broadcasted_iota(jnp.float32, (D + 1, 1), 0)[:, 0]
     Rd = (d_iota * share).astype(jnp.int32)
@@ -193,7 +230,38 @@ def _local_shard_body(
     send_sizes = boundary[1:] - boundary[:-1]  # (D,)
     input_offsets = boundary[:-1]
 
-    # 4. size matrix via all_gather -> offsets in receiver buffers
+    # 4-6. exchange + local finish
+    out_planes, n_valid = _exchange_and_finish(
+        sorted_all, n_keys, input_offsets, send_sizes, capacity, stable,
+        use_ragged, axis, D, me, n_local,
+    )
+    outs = tuple(out_planes) + (n_valid[None],)
+    if return_partition:
+        # bucket id where each device's range starts, same comparison the
+        # atomic rule uses (dev_start[d] <= b  <=>  Rd[d] <= cum_mid[b]),
+        # so partition_exchange reproduces this shuffle's assignment
+        # exactly. Top entry forced to N_BUCKETS so trailing one-element
+        # buckets (cum_mid == total) are never dropped.
+        dev_start = jnp.searchsorted(cum_mid, Rd, side="left").astype(
+            jnp.int32
+        )
+        dev_start = dev_start.at[D].set(N_BUCKETS)
+        outs = outs + (gmins, wshifts, wbits, dev_start)
+    return outs
+
+
+def _exchange_and_finish(
+    planes, n_keys, input_offsets, send_sizes, capacity, stable,
+    use_ragged, axis, D, me, n_local,
+):
+    """Ragged all-to-all of contiguous send segments + local re-sort.
+
+    ``planes``: locally key-sorted word+payload planes; segment for
+    destination d is ``[input_offsets[d], input_offsets[d]+send_sizes[d])``.
+    Returns (capacity-sized planes in sorted order with PAD_WORD tails,
+    received-row count).
+    """
+    # size matrix via all_gather -> offsets in receiver buffers
     size_matrix = jax.lax.all_gather(send_sizes, axis)  # (D, D)[sender, dst]
     recv_sizes = size_matrix[:, me]  # what each sender sends me
     # where MY segment starts in each receiver's buffer: senders before me
@@ -206,13 +274,13 @@ def _local_shard_body(
         axis=0,
     )  # (D,) per destination
 
-    # 5. exchange per plane. TPU: exact ragged all-to-all over ICI. CPU
+    # exchange per plane. TPU: exact ragged all-to-all over ICI. CPU
     # (tests / dryrun): XLA:CPU lacks ragged-all-to-all, so emulate with a
     # dense all_to_all of worst-case fixed chunks (test-only memory cost).
     n_valid = jnp.sum(recv_sizes)
     if use_ragged:
         out_planes = []
-        for a in sorted_all:
+        for a in planes:
             buf = jnp.full((capacity,), PAD_WORD, dtype=a.dtype)
             out = jax.lax.ragged_all_to_all(
                 a,
@@ -235,7 +303,7 @@ def _local_shard_body(
         chunk = capacity  # worst case: one sender fills my whole buffer
         pos = jax.lax.broadcasted_iota(jnp.int32, (D, chunk), 1)
         out_planes = []
-        for a in sorted_all:
+        for a in planes:
             idx = jnp.clip(input_offsets[:, None] + pos, 0, n_local - 1)
             send_buf = jnp.where(
                 pos < send_sizes[:, None], a[idx], a.dtype.type(PAD_WORD)
@@ -246,15 +314,91 @@ def _local_shard_body(
             out_planes.append(recv.reshape(-1))
         valid_mask = (pos < recv_sizes[:, None]).reshape(-1)
 
-    # 6. local sort of received data; a leading validity plane keeps pads
+    # local sort of received data; a leading validity plane keeps pads
     # behind any real all-ones keys, then truncate to capacity.
     validity = jnp.where(valid_mask, np.uint32(0), np.uint32(1))
     resorted = jax.lax.sort(
-        tuple([validity] + out_planes),
+        tuple([validity] + list(out_planes)),
         num_keys=1 + n_keys,
         is_stable=stable,
     )
     out_planes = [p[:capacity] for p in resorted[1:]]
+    return out_planes, n_valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "axis", "n_key_words", "capacity", "stable", "use_ragged",
+        "split_uniform", "return_partition",
+    ),
+)
+def _distributed_sort_jit(
+    arrs, mesh: Mesh, axis: str, n_key_words: int, capacity: int,
+    stable: bool, use_ragged: bool, split_uniform: bool = True,
+    return_partition: bool = False,
+):
+    body = functools.partial(
+        _local_shard_body, axis, n_key_words, capacity, stable, use_ragged,
+        split_uniform, return_partition,
+    )
+    n_arr = len(arrs)
+    n_part = 4 if return_partition else 0
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(P(axis) for _ in range(n_arr)),
+        out_specs=tuple(P(axis) for _ in range(n_arr + 1))
+        + tuple(P() for _ in range(n_part)),
+        # the partition outputs are replicated by construction (pure
+        # functions of psum/pmin/pmax results) but the static VMA check
+        # cannot see through searchsorted/cumsum chains
+        check_vma=not return_partition,
+    )
+    out = fn(*arrs)
+    if return_partition:
+        return out[: n_arr], out[n_arr], tuple(out[n_arr + 1 :])
+    return out[:-1], out[-1], None
+
+
+def _partition_body(
+    axis: str,
+    n_key_words: int,
+    capacity: int,
+    stable: bool,
+    use_ragged: bool,
+    gmins,
+    wshifts,
+    wbits,
+    dev_start,
+    *arrs,
+):
+    """shard_map body for :func:`partition_exchange`: route rows by a
+    PRE-COMPUTED partition (window + device bucket ranges) instead of a
+    freshly balanced one."""
+    planes = list(arrs)
+    D = jax.lax.psum(1, axis)
+    me = jax.lax.axis_index(axis)
+    n_local = planes[0].shape[0]
+    n_keys = n_key_words
+    buckets0 = _apply_window(planes[:n_keys], gmins, wshifts, wbits)
+    # local sort by (bucket, key): send segments must be bucket-contiguous
+    # even where window saturation breaks key-monotonicity of the bucket
+    # map (out-of-range keys of a foreign window)
+    srt = jax.lax.sort(
+        tuple([buckets0] + planes), num_keys=1 + n_keys, is_stable=stable
+    )
+    buckets = srt[0]
+    planes_sorted = list(srt[1:])
+    boundary = jnp.searchsorted(buckets, dev_start, side="left").astype(
+        jnp.int32
+    )  # (D+1,)
+    send_sizes = boundary[1:] - boundary[:-1]
+    input_offsets = boundary[:-1]
+    out_planes, n_valid = _exchange_and_finish(
+        planes_sorted, n_keys, input_offsets, send_sizes, capacity, stable,
+        use_ragged, axis, D, me, n_local,
+    )
     return tuple(out_planes) + (n_valid[None],)
 
 
@@ -264,22 +408,65 @@ def _local_shard_body(
         "mesh", "axis", "n_key_words", "capacity", "stable", "use_ragged"
     ),
 )
-def _distributed_sort_jit(
-    arrs, mesh: Mesh, axis: str, n_key_words: int, capacity: int,
-    stable: bool, use_ragged: bool,
+def _partition_exchange_jit(
+    arrs, partition, mesh: Mesh, axis: str, n_key_words: int,
+    capacity: int, stable: bool, use_ragged: bool,
 ):
     body = functools.partial(
-        _local_shard_body, axis, n_key_words, capacity, stable, use_ragged
+        _partition_body, axis, n_key_words, capacity, stable, use_ragged
     )
     n_arr = len(arrs)
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=tuple(P(axis) for _ in range(n_arr)),
+        in_specs=tuple(P() for _ in range(4))
+        + tuple(P(axis) for _ in range(n_arr)),
         out_specs=tuple(P(axis) for _ in range(n_arr + 1)),
     )
-    out = fn(*arrs)
+    out = fn(*partition, *arrs)
     return out[:-1], out[-1]
+
+
+def partition_exchange(
+    words: Sequence[jax.Array],
+    payloads: Sequence[jax.Array],
+    partition,
+    *,
+    mesh: Mesh,
+    axis: str = "shard",
+    capacity_factor: float = 2.0,
+    stable: bool = False,
+):
+    """Route rows to devices by an EXISTING partition (co-partitioning).
+
+    ``partition`` is the 4-tuple returned by
+    ``distributed_sort(..., split_uniform=False, return_partition=True)``:
+    the entropy-adaptive window parameters plus each device's bucket
+    range. Rows whose key falls in bucket b land on the same device that
+    the originating shuffle assigned bucket b to — the join-side
+    guarantee that equal keys of two datasets meet on one device
+    (SURVEY.md §7 step 7: "partition both sides by the same MSB
+    shuffle"). Keys outside the originating window's range saturate into
+    its edge buckets (they have no join partner by construction).
+
+    Same return convention as :func:`distributed_sort`.
+    """
+    D = mesh.devices.size
+    n = int(words[0].shape[0])
+    if n % D != 0:
+        raise ValueError(f"global length {n} not divisible by mesh size {D}")
+    n_local = n // D
+    capacity = max(int(np.ceil(capacity_factor * n_local)), 16)
+    arrs = tuple(words) + tuple(payloads)
+    sharding = NamedSharding(mesh, P(axis))
+    arrs = tuple(jax.device_put(a, sharding) for a in arrs)
+    use_ragged = jax.default_backend() == "tpu"
+    out, counts = _partition_exchange_jit(
+        arrs, tuple(partition), mesh, axis, len(words), capacity, stable,
+        use_ragged,
+    )
+    k = len(words)
+    return list(out[:k]), list(out[k:]), counts
 
 
 def distributed_sort(
@@ -290,6 +477,8 @@ def distributed_sort(
     axis: str = "shard",
     capacity_factor: float = 2.0,
     stable: bool = False,
+    split_uniform: bool = True,
+    return_partition: bool = False,
 ):
     """Sort globally over a mesh axis.
 
@@ -299,6 +488,11 @@ def distributed_sort(
     out device-major — device d's valid slice is
     ``plane[d*capacity : d*capacity + counts[d]]`` — and the concatenation
     of valid slices in device order is the globally sorted sequence.
+
+    ``split_uniform=False`` keeps every bucket device-atomic (required when
+    the partition will be reused for co-partitioning another dataset);
+    ``return_partition=True`` appends the reusable partition state for
+    :func:`partition_exchange` as a fourth return value.
     """
     D = mesh.devices.size
     n = int(words[0].shape[0])
@@ -311,10 +505,13 @@ def distributed_sort(
     sharding = NamedSharding(mesh, P(axis))
     arrs = tuple(jax.device_put(a, sharding) for a in arrs)
     use_ragged = jax.default_backend() == "tpu"
-    out, counts = _distributed_sort_jit(
-        arrs, mesh, axis, len(words), capacity, stable, use_ragged
+    out, counts, partition = _distributed_sort_jit(
+        arrs, mesh, axis, len(words), capacity, stable, use_ragged,
+        split_uniform=split_uniform, return_partition=return_partition,
     )
     k = len(words)
+    if return_partition:
+        return list(out[:k]), list(out[k:]), counts, partition
     return list(out[:k]), list(out[k:]), counts
 
 

@@ -9,6 +9,7 @@ from rdst_tpu.parallel import make_mesh
 from rdst_tpu.parallel.dtable import (
     distributed_filter,
     distributed_group_aggregate,
+    distributed_join,
     distributed_sort_table,
 )
 from rdst_tpu.table import Table
@@ -81,6 +82,104 @@ def test_distributed_group_aggregate(mesh, sales):
         sel = qty0[grp0 == kk]
         assert abs(float(np.asarray(out["total"])[i]) - sel.sum()) < 1.0
         assert int(np.asarray(out["cnt"])[i]) == len(sel)
+
+
+def _pandasless_join_oracle(lk, lv, rk, rv):
+    """Expected inner pk-fk join (left order preserved): rows of left whose
+    key exists in right, with the right value attached."""
+    lut = dict(zip(rk.tolist(), rv.tolist()))
+    keep = np.array([k in lut for k in lk.tolist()])
+    gathered = np.array([lut.get(k, 0) for k in lk.tolist()],
+                        dtype=rv.dtype)
+    return keep, gathered
+
+
+def test_distributed_join_inner(mesh, rng):
+    n, m = 1 << 13, 1 << 10
+    lk = rng.integers(0, 2 * m, n).astype(np.uint32)
+    # non-contiguous pk set: every device sees a MIX of matched and
+    # unmatched left rows (catches per-piece packing bugs)
+    rk = rng.choice(2 * m, size=m, replace=False).astype(np.uint32)
+    left = Table({"key": lk, "lid": np.arange(n, dtype=np.uint32)})
+    right = Table({"key": rk, "dim": (rk * 7 + 1).astype(np.uint32)})
+    out, cnt = distributed_join(
+        left, right, "key", mesh=mesh, right_capacity_factor=6.0
+    )
+    keep, gathered = _pandasless_join_oracle(
+        lk, None, rk, np.asarray(right["dim"])
+    )
+    assert int(cnt) == int(keep.sum())
+    assert out.n_rows == int(cnt)  # inner output is densely packed
+    got = {
+        (int(k), int(i), int(d))
+        for k, i, d in zip(
+            np.asarray(out["key"]),
+            np.asarray(out["lid"]),
+            np.asarray(out["dim"]),
+        )
+    }
+    want = {
+        (int(lk[i]), i, int(gathered[i]))
+        for i in range(n)
+        if keep[i]
+    }
+    assert got == want
+
+
+def test_distributed_join_left(mesh, rng):
+    n, m = 1 << 12, 1 << 9
+    lk = rng.integers(0, 4 * m, n).astype(np.uint32)
+    rk = rng.permutation(m).astype(np.uint32)
+    left = Table({"key": lk, "lid": np.arange(n, dtype=np.uint32)})
+    right = Table({"key": rk, "dim": (rk + 100).astype(np.uint32)})
+    out, cnt = distributed_join(
+        left, right, "key", mesh=mesh, how="left",
+        right_capacity_factor=10.0,
+    )
+    keep, gathered = _pandasless_join_oracle(
+        lk, None, rk, np.asarray(right["dim"])
+    )
+    assert int(cnt) == int(keep.sum())
+    assert out.n_rows == n  # every left row appears exactly once
+    got_by_lid = {}
+    for k, i, d, mt in zip(
+        np.asarray(out["key"]), np.asarray(out["lid"]),
+        np.asarray(out["dim"]), np.asarray(out["_matched"]),
+    ):
+        got_by_lid[int(i)] = (int(k), int(d), bool(mt))
+    for i in range(n):
+        k, d, mt = got_by_lid[i]
+        assert k == int(lk[i])
+        assert mt == bool(keep[i])
+        if keep[i]:
+            assert d == int(gathered[i])
+
+
+def test_distributed_join_hot_fk(mesh, rng):
+    """Zipf-style fact table: 70% of fact rows reference ONE dimension
+    key. Co-partitioning must still produce the exact join (atomic
+    buckets keep the hot key's rows and its dimension row together)."""
+    n, m = 1 << 13, 256
+    hot = np.full(int(n * 0.7), 42, dtype=np.uint32)
+    rest = rng.integers(0, m, n - len(hot)).astype(np.uint32)
+    lk = np.concatenate([hot, rest])
+    rng.shuffle(lk)
+    rk = np.arange(m, dtype=np.uint32)
+    left = Table({"key": lk, "lid": np.arange(n, dtype=np.uint32)})
+    right = Table({"key": rk, "dim": (rk * 3).astype(np.uint32)})
+    # the hot key stays atomic on one device (join-safe), so that device
+    # holds ~70% of the fact rows — capacity must absorb it
+    out, cnt = distributed_join(
+        left, right, "key", mesh=mesh, capacity_factor=8.0,
+        right_capacity_factor=8.0,
+    )
+    assert int(cnt) == n  # every key 0..m-1 exists in right
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(out["lid"])), np.arange(n, dtype=np.uint32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["dim"]), np.asarray(out["key"]) * 3
+    )
 
 
 def test_distributed_sort_skew_16bit_split(mesh, rng):
