@@ -11,6 +11,7 @@ EXAMPLES = [
     "custom_tuner.py",
     "composite_keys.py",
     "impl_radix_key.py",
+    "distributed_pipeline.py",
 ]
 
 
