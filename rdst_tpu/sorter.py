@@ -146,15 +146,26 @@ def _register_default_plans():
     """Populate the plan registry (lazy imports avoid cycles).
 
     Mapping of the reference's eight algorithms onto the four TPU plan
-    families (each file documents the correspondence):
+    families. The tuners pick the same Algorithm NAMES at the same
+    thresholds as the reference (tuner.py); this table decides what each
+    name EXECUTES on TPU and is measurement-driven (scripts/probe9.py,
+    BENCH_NOTES.md):
 
       COMPARATIVE          -> variadic sorting network (lax.sort)
       LSB, MT_LSB          -> level-compacted stable sort (sorts/lsb.py)
-      LR_LSB               -> same, skew/low-entropy specialization
-      SKA, MT_OOP,
+      LR_LSB, SKA          -> same compaction, skew/low-entropy regime
+                              (unstable allowed for SKA, like the
+                              reference's in-place ska)
       RECOMBINATING,
-      SCANNING             -> MSB bucketed partition + batched bucket
-                              sorts + ragged DMA writeback (sorts/msb.py)
+      SCANNING             -> the reference's large-uniform picks; on TPU
+                              the measured-fastest dense plan IS the
+                              network (0.91 ns/el vs 4.7 for the padded
+                              bucket pipeline at uniform 10M), so these
+                              map to comparative
+      MT_OOP               -> MSB bucketed partition + batched bucket
+                              sorts + ragged writeback (sorts/msb.py) —
+                              kept as the explicitly requestable bucketed
+                              plan (no built-in tuner ladder picks MT_OOP)
       REGIONS              -> low-memory chunked sort + bitonic merge
                               tree (sorts/regions.py)
     """
@@ -171,6 +182,10 @@ def _register_default_plans():
         # LSB family is stable by contract (reference lib.rs docs)
         return packed_sort(words, payloads, counts, stable=True)
 
+    def ska_plan(words, payloads, ctx: PlanContext):
+        counts = ctx.hist.counts if ctx.hist is not None else None
+        return packed_sort(words, payloads, counts, stable=ctx.stable)
+
     def msb_plan(words, payloads, ctx: PlanContext):
         counts = ctx.hist.counts if ctx.hist is not None else None
         return bucketed_sort(words, payloads, counts, stable=ctx.stable)
@@ -182,10 +197,10 @@ def _register_default_plans():
     _PLANS[Algorithm.LSB] = lsb_plan
     _PLANS[Algorithm.LR_LSB] = lsb_plan
     _PLANS[Algorithm.MT_LSB] = lsb_plan
-    _PLANS[Algorithm.SKA] = msb_plan
+    _PLANS[Algorithm.SKA] = ska_plan
     _PLANS[Algorithm.MT_OOP] = msb_plan
-    _PLANS[Algorithm.RECOMBINATING] = msb_plan
-    _PLANS[Algorithm.SCANNING] = msb_plan
+    _PLANS[Algorithm.RECOMBINATING] = comparative_plan
+    _PLANS[Algorithm.SCANNING] = comparative_plan
     _PLANS[Algorithm.REGIONS] = regions_plan
 
 
