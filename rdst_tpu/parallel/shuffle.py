@@ -160,8 +160,13 @@ def _local_shard_body(
         buckets, jnp.arange(N_BUCKETS + 1, dtype=jnp.int32), side="left"
     )
     local_hist = (edges[1:] - edges[:-1]).astype(jnp.int32)
-    hist_matrix = jax.lax.all_gather(local_hist, axis)  # (D, R)
-    global_hist = jnp.sum(hist_matrix, axis=0)
+    if split_uniform:
+        hist_matrix = jax.lax.all_gather(local_hist, axis)  # (D, R)
+        global_hist = jnp.sum(hist_matrix, axis=0)
+    else:
+        # atomic-only mode never needs per-sender offsets — a psum moves
+        # D x less data than the (D, R) gather
+        global_hist = jax.lax.psum(local_hist, axis)
 
     # 2b. single-key ("uniform") bucket detection. A bucket whose global
     # key set is ONE value can be split across devices at any rank without
@@ -214,18 +219,22 @@ def _local_shard_body(
     d_iota = jax.lax.broadcasted_iota(jnp.float32, (D + 1, 1), 0)[:, 0]
     Rd = (d_iota * share).astype(jnp.int32)
     Rd = Rd.at[D].set(total.astype(jnp.int32))  # exact top boundary
-    # my within-bucket stable offset: earlier senders' counts
-    sender_iota = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
-    o_me = jnp.sum(
-        jnp.where(sender_iota < me, hist_matrix, 0), axis=0
-    )  # (R,)
     c_me = local_hist
-    # take_lt[d, b] = how many of MY bucket-b elements go to devices < d
-    rank_cut = Rd[:, None] - (bstart + o_me)[None, :]  # (D+1, R)
-    take_uniform = jnp.clip(rank_cut, 0, c_me[None, :])
     atomic_below = (cum_mid[None, :] < Rd[:, None]).astype(jnp.int32)
     take_atomic = atomic_below * c_me[None, :]
-    take_lt = jnp.where(uniform[None, :], take_uniform, take_atomic)
+    if split_uniform:
+        # my within-bucket stable offset: earlier senders' counts (this is
+        # the only consumer of the (D, R) hist_matrix gather)
+        sender_iota = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
+        o_me = jnp.sum(
+            jnp.where(sender_iota < me, hist_matrix, 0), axis=0
+        )  # (R,)
+        # take_lt[d, b] = how many of MY bucket-b elems go to devices < d
+        rank_cut = Rd[:, None] - (bstart + o_me)[None, :]  # (D+1, R)
+        take_uniform = jnp.clip(rank_cut, 0, c_me[None, :])
+        take_lt = jnp.where(uniform[None, :], take_uniform, take_atomic)
+    else:
+        take_lt = take_atomic
     boundary = jnp.sum(take_lt, axis=1).astype(jnp.int32)  # (D+1,)
     send_sizes = boundary[1:] - boundary[:-1]  # (D,)
     input_offsets = boundary[:-1]

@@ -48,6 +48,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _trace_fallback(reason: str) -> None:
+    # the sorter's pick trace has already printed the bucketed algorithm
+    # name; make the degrade visible under work_profiles so nobody
+    # benchmarks the wrong plan (reference trace style, sorter.rs:78-79)
+    if config.work_profiles_enabled():
+        print(f"(msb) FALLBACK: Comparative ({reason})")
+
+
 def bucketed_sort(
     words: Sequence[jax.Array],
     payloads: Sequence[jax.Array],
@@ -64,13 +72,16 @@ def bucketed_sort(
         return comparative_sort(words, payloads, stable=stable)
     if n > config.max_bucketed_elements:
         # compile-time guard: the padded-bucket graph's compile cost grows
-        # steeply with n (config.max_bucketed_elements); the comparative
-        # network is within ~15% at these sizes and compiles fast
+        # steeply with n (config.max_bucketed_elements)
+        _trace_fallback(
+            f"n={n} > max_bucketed_elements={config.max_bucketed_elements}"
+        )
         return comparative_sort(words, payloads, stable=stable)
     top = counts[-1]  # most significant level histogram
     cap = _round_up(max(int(top.max()), 8), 8)
     if cap * RADIX > max_expansion * n:
         # skewed / tiny buckets: padding too costly — comparative fallback
+        _trace_fallback(f"padding {cap * RADIX}/{n} > {max_expansion}x")
         return comparative_sort(words, payloads, stable=stable)
 
     # 1. stable partition by top byte (a 1-key-operand network pass; the

@@ -29,24 +29,23 @@ def main():
     rng = np.random.default_rng(0)
     all_ok = True
 
-    # 50M u32/u64 through the comparative plan (the large-n compile the
-    # bucketed pipeline triggers at 50M overwhelms the remote compiler in
-    # this environment; the tuner path is exercised at 20M below)
+    # 50M u32/u64 through the DEFAULT tuner pipeline (Scanning regime ->
+    # comparative network under the measured plan mapping; the bucketed
+    # plan additionally self-caps at config.max_bucketed_elements)
     n = 50_000_000
     x = rng.integers(0, 2**32, n, dtype=np.int64).astype(np.uint32)
     t0 = time.perf_counter()
-    got = rt.radix_sort_builder(x).with_algorithm(
-        rt.Algorithm.COMPARATIVE).sort()
+    got = rt.radix_sort_unstable(x)
     dt = time.perf_counter() - t0
-    all_ok &= check(f"u32 50M comparative ({dt:.1f}s e2e)",
+    all_ok &= check(f"u32 50M default pipeline ({dt:.1f}s e2e)",
                     np.array_equal(got, np.sort(x)))
     k = rng.integers(0, 2**64, n, dtype=np.uint64)
-    got = rt.radix_sort_builder(k).with_algorithm(
-        rt.Algorithm.COMPARATIVE).sort()
-    all_ok &= check("u64 50M comparative", np.array_equal(got, np.sort(k)))
+    got = rt.radix_sort_unstable(k)
+    all_ok &= check("u64 50M default pipeline",
+                    np.array_equal(got, np.sort(k)))
     del k, got
 
-    # 20M u32 through the DEFAULT pipeline (tuner picks the bucketed plan)
+    # 20M u32 through the DEFAULT pipeline (Recombinating regime)
     m0 = 20_000_000
     x2 = rng.integers(0, 2**32, m0, dtype=np.int64).astype(np.uint32)
     t0 = time.perf_counter()

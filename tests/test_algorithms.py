@@ -58,10 +58,13 @@ def test_packed_sort_low_entropy(rng):
 
 
 def test_bucketed_skew_fallback(rng):
-    """Extreme skew: bucketed plan must fall back, still correct."""
+    """Extreme skew: bucketed plan must fall back, still correct.
+
+    MT_OOP is the Algorithm that maps to the bucketed plan under the
+    measured default registry (sorter.py)."""
     x = np.full(50_000, 0xDEADBEEF, dtype=np.uint32)
     x[:100] = rng.integers(0, 2**32, size=100, dtype=np.uint32)
-    got = run_single_algorithm(rt.Algorithm.SKA, x)
+    got = run_single_algorithm(rt.Algorithm.MT_OOP, x)
     np.testing.assert_array_equal(got, np.sort(x))
 
 
@@ -80,15 +83,30 @@ def test_regions_payload(rng):
 
 
 def test_bucketed_payload_stable(rng):
+    """Drives sorts/msb.py's padded-bucket pipeline (via MT_OOP, the
+    bucketed Algorithm in the measured registry): real 0xFFFFFFFF keys
+    must not mix with the row pads."""
     k = rng.integers(0, 2**32, size=50_000, dtype=np.uint32)
     k[::7] = 0xFFFFFFFF  # real max keys must not mix with row pads
     v = np.arange(50_000, dtype=np.uint32)
     ks, (vs,) = (
         rt.radix_sort_builder(k, [v])
-        .with_algorithm(rt.Algorithm.RECOMBINATING)
+        .with_algorithm(rt.Algorithm.MT_OOP)
         .with_stable(True)
         .sort()
     )
     order = np.argsort(k, kind="stable")
     np.testing.assert_array_equal(ks, k[order])
     np.testing.assert_array_equal(vs, v[order])
+
+
+def test_remapped_names_still_correct(rng):
+    """Recombinating/Scanning/Ska keep their reference tuner regimes but
+    execute the measured-winner plans; pin them and check correctness."""
+    for algo in (rt.Algorithm.RECOMBINATING, rt.Algorithm.SCANNING,
+                 rt.Algorithm.SKA):
+        x = rng.integers(0, 2**32, size=30_000, dtype=np.int64).astype(
+            np.uint32
+        )
+        got = run_single_algorithm(algo, x)
+        np.testing.assert_array_equal(got, np.sort(x))
