@@ -30,6 +30,7 @@ from rdst_tpu.builder import (
     sort_key_value,
     argsort,
 )
+from rdst_tpu.ops.rows import batched_sort, batched_top_k
 from rdst_tpu import jit_api
 from rdst_tpu.table import Table
 
@@ -48,6 +49,8 @@ __all__ = [
     "radix_sort_builder",
     "sort_key_value",
     "argsort",
+    "batched_sort",
+    "batched_top_k",
     "jit_api",
     "Table",
 ]

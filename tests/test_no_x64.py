@@ -66,6 +66,15 @@ SCRIPT = textwrap.dedent(
     outf = np.asarray(out.astype(jnp.float32))
     assert np.all(np.diff(outf) >= 0), "bf16 sort order wrong"
 
+    # 6. row-batched sort/top_k of u64 keys (host denormalize path)
+    w = rng.integers(0, 2**64, size=(16, 128), dtype=np.uint64)
+    ks, _ = rt.batched_sort(w)
+    assert np.asarray(ks).dtype == np.uint64
+    assert np.array_equal(np.asarray(ks), np.sort(w, -1)), "rows u64 sort"
+    tk, _ = rt.batched_top_k(w, 5, largest=True)
+    assert np.array_equal(
+        np.asarray(tk), np.sort(w, -1)[:, ::-1][:, :5]), "rows u64 top_k"
+
     print("NO-X64 ALL OK")
     """
 )
