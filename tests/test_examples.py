@@ -12,6 +12,7 @@ EXAMPLES = [
     "composite_keys.py",
     "impl_radix_key.py",
     "distributed_pipeline.py",
+    "batched_rows.py",
 ]
 
 
