@@ -27,7 +27,7 @@ assert np.array_equal(np.asarray(top), want)
 print("row-0 top-8:", np.asarray(top)[0])
 print("row-0 top-8 ids:", np.asarray(top_ids)[0])
 
-# composite keys work too: sort rows by (group, -priority)
+# composite keys work too: sort rows by (group, priority) ascending
 grp = rng.integers(0, 4, size=(64, 256)).astype(np.uint8)
 pri = rng.integers(0, 1000, size=(64, 256)).astype(np.uint32)
 (sg, sp), _ = rt.batched_sort((grp, pri))

@@ -31,9 +31,16 @@ __all__ = ["batched_sort", "batched_top_k"]
 _SIGN = np.uint32(0x80000000)
 
 
-def _normalize_rows(x):
+def _normalize_rows(x, byte_keys: bool | None = None):
     """Normalize row-batched keys: flatten (transforms are elementwise),
     normalize 1-D, reshape the word planes back to the batch shape.
+
+    ``byte_keys`` selects how uint8 inputs are read: ``True`` → the last
+    axis is the bytes of one ``[u8; N]`` lexicographic key (rows run along
+    axis -2); ``False`` → scalar u8 keys with rows along the last axis;
+    ``None`` → infer ``True`` only for uint8 arrays with ndim >= 3 (the
+    historical convention — ambiguous for batched scalar u8 keys with 2+
+    leading batch dims, so pass the flag explicitly there).
 
     Returns ``(nk_with_batch_shaped_words, batch_shape)``.
     """
@@ -47,7 +54,12 @@ def _normalize_rows(x):
             tuple(f.reshape(-1) for f in x), composite=True
         )
     else:
-        if np.dtype(x.dtype) == np.uint8 and x.ndim >= 3:
+        is_u8 = np.dtype(x.dtype) == np.uint8
+        if byte_keys and not is_u8:
+            raise TypeError("byte_keys=True requires a uint8 array")
+        if byte_keys is None:
+            byte_keys = is_u8 and x.ndim >= 3
+        if byte_keys:
             # [u8; N] byte-array keys: last axis is the key bytes
             shape = x.shape[:-1]
             nk = _keys.normalize(x.reshape(-1, x.shape[-1]))
@@ -60,7 +72,7 @@ def _normalize_rows(x):
     return nk, shape
 
 
-def _denormalize_rows(nk: _keys.NormalizedKeys, shape):
+def _denormalize_rows(nk: _keys.NormalizedKeys):
     """Invert :func:`_normalize_rows` for (possibly sliced) batch words.
 
     64-bit key dtypes with x64 off reconstruct on the host (numpy), same
@@ -88,10 +100,11 @@ def _denormalize_rows(nk: _keys.NormalizedKeys, shape):
 def _check_payload(p) -> jax.Array:
     """Payloads ride through the sort as-is; reject dtypes that
     ``jnp.asarray`` would silently narrow (64-bit values with x64 off)."""
+    orig_dtype = np.asarray(p).dtype if not hasattr(p, "dtype") else p.dtype
     a = jnp.asarray(p)
-    if np.dtype(a.dtype).itemsize < np.dtype(p.dtype).itemsize:
+    if np.dtype(a.dtype).itemsize < np.dtype(orig_dtype).itemsize:
         raise TypeError(
-            f"payload dtype {p.dtype} would be narrowed to {a.dtype} "
+            f"payload dtype {orig_dtype} would be narrowed to {a.dtype} "
             "(jax_enable_x64 is off); split it into uint32 planes first"
         )
     return a
@@ -103,6 +116,7 @@ def batched_sort(
     *,
     stable: bool = False,
     descending: bool = False,
+    byte_keys: bool | None = None,
 ):
     """Sort every row (last axis) of ``x`` independently.
 
@@ -111,10 +125,17 @@ def batched_sort(
     ``(..., n)``. ``payloads``: arrays of shape ``(..., n)`` permuted
     alongside their row's keys.
 
+    uint8 inputs are ambiguous: ``byte_keys=True`` reads the last axis as
+    the N bytes of one ``[u8; N]`` lexicographic key (rows then run along
+    axis -2, matching reference radix_key_impl.rs:78-85); ``byte_keys=
+    False`` means scalar u8 keys. The default (``None``) infers ``True``
+    for uint8 arrays with ndim >= 3 — pass the flag explicitly when
+    batching scalar u8 keys with 2+ leading batch dims.
+
     Returns ``(sorted_keys, [sorted_payloads...])`` with ``sorted_keys``
     in the input's dtype (a tuple again for composite keys). Jittable.
     """
-    nk, shape = _normalize_rows(x)
+    nk, _ = _normalize_rows(x, byte_keys)
     words = list(nk.words)
     if descending:
         words = [~w for w in words]
@@ -126,7 +147,7 @@ def batched_sort(
     if descending:
         sorted_words = [~w for w in sorted_words]
     sorted_nk = dataclasses.replace(nk, words=tuple(sorted_words))
-    return _denormalize_rows(sorted_nk, shape), list(out[len(words):])
+    return _denormalize_rows(sorted_nk), list(out[len(words):])
 
 
 def _as_i32_key(w: jax.Array, largest: bool) -> jax.Array:
@@ -147,17 +168,19 @@ def batched_top_k(
     payloads: Sequence[jax.Array] = (),
     *,
     largest: bool = True,
+    byte_keys: bool | None = None,
 ):
     """Per-row top-``k`` by key order (``largest=False`` → bottom-k).
 
     Single-word keys (≤32-bit dtypes) hit the TPU ``lax.top_k`` kernel
     (measured 1.7x faster than a row sort, scripts/probe10.py); wider /
     composite keys fall back to a row sort + slice. Results are returned
-    in sorted order (descending for ``largest=True``).
+    in sorted order (descending for ``largest=True``). ``byte_keys``
+    disambiguates uint8 inputs exactly as in :func:`batched_sort`.
 
     Returns ``(top_keys, [top_payloads...])``, each shaped ``(..., k)``.
     """
-    nk, shape = _normalize_rows(x)
+    nk, _ = _normalize_rows(x, byte_keys)
     n = nk.words[0].shape[-1]
     if not 0 < k <= n:
         raise ValueError(f"k={k} out of range for rows of {n}")
@@ -172,8 +195,10 @@ def batched_top_k(
             )
             for p in payloads
         ]
-        return _denormalize_rows(sorted_nk, shape), outs
-    sorted_keys, outs = batched_sort(x, payloads, descending=largest)
+        return _denormalize_rows(sorted_nk), outs
+    sorted_keys, outs = batched_sort(
+        x, payloads, descending=largest, byte_keys=byte_keys
+    )
     if isinstance(sorted_keys, tuple):
         sorted_keys = tuple(f[..., :k] for f in sorted_keys)
     else:

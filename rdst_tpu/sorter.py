@@ -84,7 +84,14 @@ class Sorter:
         payloads: Sequence[jax.Array] = (),
         *,
         stable: bool = False,
+        hist: HistogramResult | None = None,
     ) -> tuple[NormalizedKeys, list[jax.Array]]:
+        """Histogram -> tuner -> plan. ``hist`` may be precomputed (e.g.
+        from a prior ``multi_level_histogram`` call); since HistogramResult
+        is host-side numpy, passing it makes this method fully traceable
+        under jit — the histogram/tuner decision happens at trace time,
+        exactly like the reference consulting the tuner on every sort
+        (sorter.rs:67-76) but with the data scan hoisted out."""
         words = list(nk.words)
         payloads = list(payloads)
         n = int(words[0].shape[0])
@@ -94,7 +101,8 @@ class Sorter:
             algo = Algorithm.COMPARATIVE
             hist = None
         else:
-            hist = multi_level_histogram(words, L)
+            if hist is None:
+                hist = multi_level_histogram(words, L)
             if hist.fully_sorted():
                 # already-sorted short circuit (sorter.rs:59-65): every
                 # level's digit sequence is nondecreasing => identity sort.

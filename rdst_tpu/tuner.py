@@ -33,16 +33,19 @@ __all__ = [
 class Algorithm(enum.Enum):
     """The eight interchangeable sort plans (reference: src/tuner.rs:10-22).
 
-    TPU plan each name maps to (see rdst_tpu/sorts/):
-      MT_OOP         - one MSB partition pass, then per-bucket batched LSD
-      MT_LSB         - grid-tiled stable LSD radix passes (the Pallas engine)
-      SCANNING       - HBM-streamed MSD partition for very large inputs
-      RECOMBINATING  - tile-local counting sort + bucket-gather recombination
-      COMPARATIVE    - XLA variadic sort (small inputs; needs no histograms)
-      LR_LSB         - skew-specialized LSD (sparse-digit fast path)
-      LSB            - single-program stable LSD radix passes
-      REGIONS        - low-memory chunked MSB partition + in-place bucket sort
-      SKA            - in-place-style MSB bucket scatter, then recursion
+    What each name EXECUTES on TPU (the authoritative registry is
+    rdst_tpu/sorter.py:_register_default_plans; the mapping is
+    measurement-driven, see BENCH_NOTES.md and scripts/probe9.py):
+      COMPARATIVE    - XLA variadic sorting network (sorts/comparative.py)
+      LSB, MT_LSB    - level-compacted packed stable sort (sorts/lsb.py)
+      LR_LSB, SKA    - same compaction; SKA may run unstable
+      RECOMBINATING,
+      SCANNING       - map to the comparative plan (the measured-fastest
+                       dense large-input plan on TPU)
+      MT_OOP         - bucketed MSB partition + batched per-bucket row
+                       sorts + ragged writeback (sorts/msb.py)
+      REGIONS        - low-memory chunked sort + bitonic merge tree
+                       (sorts/regions.py)
     """
 
     MT_OOP = "MtOop"

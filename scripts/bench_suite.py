@@ -7,6 +7,15 @@
   5. distributed pipeline — covered by tests/test_dtable.py + dryrun
      (single chip available; mesh scaling runs on the CPU mesh)
 
+Every config runs the REAL dispatcher path: the multi-level histogram is
+computed on device and the pluggable tuner picks the plan (exactly the
+reference's flow, sorter.rs:55-76); the pick happens at trace time so the
+timed loop measures the tuner-chosen plan's device execution. Iterations
+re-randomize the input with a plane-preserving XOR rehash — a bijection
+that permutes each byte-plane's histogram buckets without changing their
+shape, so duplicate structure, skew and constant-plane decisions stay
+valid while the sorted-input short circuit is defeated.
+
 Run on the TPU host:  python scripts/bench_suite.py
 Prints one JSON line per config (same schema as bench.py).
 """
@@ -48,13 +57,50 @@ def bench_injit(step, args, iters=6):
     return max(tm, 1e-9)
 
 
-def emit(metric, n, seconds):
-    print(json.dumps({
+def emit(metric, n, seconds, extra=None):
+    rec = {
         "metric": metric,
         "value": round(n / seconds),
         "unit": "keys/s",
         "vs_baseline": round(n / seconds / 1e9, 4),
-    }), flush=True)
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def dispatcher_step(n_words, n_bytes, stable, hist, sorter, scramble):
+    """Build a jittable step running the tuner-chosen plan.
+
+    The tuner consultation happens when this closure is traced (host-side
+    numpy hist), mirroring sorter.rs:67-76; only the chosen plan's device
+    program is timed.
+    """
+    import dataclasses
+
+    from rdst_tpu.keys import NormalizedKeys
+
+    def step(a):
+        ws, ps = list(a[:n_words]), list(a[n_words:])
+        ws = scramble(ws)
+        nk = NormalizedKeys(tuple(ws), n_bytes, ("dtype", np.dtype(np.uint32)))
+        out_nk, out_ps = sorter.run(nk, ps, stable=stable, hist=hist)
+        return tuple(out_nk.words) + tuple(out_ps)
+
+    return step
+
+
+def xor_scramble(ws):
+    """Plane-preserving rehash: XOR each word with a fixed odd constant.
+
+    Bijective; permutes each byte-plane's histogram buckets (constant
+    planes stay constant, skew magnitudes unchanged) while scrambling
+    sort order so the already-sorted short circuit never fires between
+    iterations. Safe for plans whose static decisions depend only on
+    histogram SHAPE (compaction, tuner ladders) — not for plans using
+    absolute bucket offsets (the bucketed MSB plan recomputes its own)."""
+    C = np.uint32(0xB5A93E6B)
+    return [w ^ C for w in ws]
 
 
 def main():
@@ -68,66 +114,70 @@ def main():
 
     import jax.numpy as jnp
     from rdst_tpu import keys as rkeys
-    from rdst_tpu.engine import sort_words
+    from rdst_tpu.ops.histogram import multi_level_histogram
+    from rdst_tpu.sorter import Sorter
 
     rng = np.random.default_rng(0)
-    H = np.uint32(2654435761)
+    sorter = Sorter()
 
-    def rehash(ws):
-        return [w * H + np.uint32(3) for w in ws]
+    def bench_config(metric, words_np, payloads_np, n_bytes, stable):
+        ws = [jnp.asarray(w) for w in words_np]
+        ps = [jnp.asarray(p) for p in payloads_np]
+        hist = multi_level_histogram(ws, n_bytes)
+        algo = None
+        if not hist.fully_sorted():
+            from rdst_tpu.sorter import DEFAULT_THREADS
+            from rdst_tpu.tuner import TuningParams
 
-    # config 1: 10M uniform u32
+            params = TuningParams(
+                threads=DEFAULT_THREADS, level=n_bytes - 1,
+                total_levels=n_bytes, input_len=int(ws[0].shape[0]),
+            )
+            algo = sorter.tuner.pick_algorithm(
+                params, hist.counts[n_bytes - 1].tolist()
+            ).value
+        step = dispatcher_step(
+            len(ws), n_bytes, stable, hist, sorter, xor_scramble
+        )
+        t = bench_injit(step, tuple(ws) + tuple(ps))
+        n = int(ws[0].shape[0])
+        emit(metric, n, t, extra={"plan": algo})
+
     n = 10_000_000
+    pay = [np.arange(n, dtype=np.uint32)]
+
     if "1" in run:
-        w = [jnp.asarray(rng.integers(0, 2**32, n, dtype=np.int64).astype(np.uint32))]
-        t = bench_injit(lambda a: tuple(sort_words(rehash(list(a)))[0]), tuple(w))
-        emit("c1_u32_10M_uniform", n, t)
-
-    pay = [jnp.asarray(np.arange(n, dtype=np.uint32))]
-
-    def s2(stable):
-        def step(a):
-            ws, ps = list(a[:2]), list(a[2:])
-            ow, op = sort_words(rehash(ws), ps, stable=stable)
-            return tuple(ow) + tuple(op)
-        return step
+        w = rng.integers(0, 2**32, n, dtype=np.int64).astype(np.uint32)
+        bench_config("c1_u32_10M_uniform", [w], [], 4, stable=False)
 
     if "2" in run:
-        # config 2a: u64 + u32 payload, unstable then stable
-        w2 = [jnp.asarray(rng.integers(0, 2**32, n, dtype=np.int64).astype(np.uint32))
+        w2 = [rng.integers(0, 2**32, n, dtype=np.int64).astype(np.uint32)
               for _ in range(2)]
-        t = bench_injit(s2(False), tuple(w2 + pay))
-        emit("c2_u64_payload_unstable_10M", n, t)
-        t = bench_injit(s2(True), tuple(w2 + pay))
-        emit("c2_u64_payload_stable_10M", n, t)
+        bench_config("c2_u64_payload_unstable_10M", w2, pay, 8, stable=False)
+        bench_config("c2_u64_payload_stable_10M", w2, pay, 8, stable=True)
 
-        # config 2b: f64 keys + payload (total-order transform fused in)
         f = rng.standard_normal(n)
         nkf = rkeys.normalize(f)
-        wf = [jnp.asarray(np.asarray(x)) for x in nkf.words]
-        t = bench_injit(s2(True), tuple(wf + pay))
-        emit("c2_f64_payload_stable_10M", n, t)
+        wf = [np.asarray(x) for x in nkf.words]
+        bench_config("c2_f64_payload_stable_10M", wf, pay, 8, stable=True)
 
     if "3" in run:
         # config 3: composite struct key (u16, f32) + u32 payload
         a16 = rng.integers(0, 2**16, n).astype(np.uint16)
         b32 = rng.standard_normal(n).astype(np.float32)
         nk3 = rkeys.normalize((a16, b32))
-        w3 = [jnp.asarray(np.asarray(x)) for x in nk3.words]
+        w3 = [np.asarray(x) for x in nk3.words]
         assert len(w3) == 2  # 6 key bytes -> 2 words
-        t = bench_injit(s2(True), tuple(w3 + pay))
-        emit("c3_struct_key_payload_10M", n, t)
+        bench_config("c3_struct_key_payload_10M", w3, pay, nk3.n_bytes,
+                     stable=True)
 
-    # config 4: Zipfian u32 (skew regime)
     if "4" in run:
-        # rehash is a bijection: duplicate structure (the skew) is
-        # preserved while defeating the sorted-input fast path
+        # config 4: Zipfian u32 (skew regime — exercises the tuner's skew
+        # ladder; XOR rehash preserves the skew between iterations)
         z = (rng.zipf(1.3, n) % (2**31)).astype(np.uint32)
         nz = rkeys.normalize(z)
-        wz = [jnp.asarray(np.asarray(x)) for x in nz.words]
-        t = bench_injit(lambda a: tuple(sort_words(rehash(list(a)))[0]),
-                        tuple(wz))
-        emit("c4_zipf_u32_10M", n, t)
+        wz = [np.asarray(x) for x in nz.words]
+        bench_config("c4_zipf_u32_10M", wz, [], 4, stable=False)
 
 
 if __name__ == "__main__":

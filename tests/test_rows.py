@@ -79,14 +79,12 @@ def test_batched_top_k_single_word(rng, dtype, largest):
     want = srt[..., ::-1][..., :k] if largest else srt[..., :k]
     assert np.array_equal(np.asarray(got), want)
     # payload rows must pair with their keys (ties: any consistent pairing)
-    key_of = {}
     for r in range(x.shape[0]):
         pairs = set(zip(x[r].tolist(), payload[r].tolist()))
         got_pairs = set(
             zip(np.asarray(got)[r].tolist(), np.asarray(p)[r].tolist())
         )
         assert got_pairs <= pairs, f"row {r}: payload mispaired"
-        key_of[r] = True
 
 
 @pytest.mark.parametrize("largest", [True, False])
