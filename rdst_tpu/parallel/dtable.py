@@ -16,6 +16,7 @@ sharded row-wise over the mesh axis; operators compose:
 """
 from __future__ import annotations
 
+import functools
 from typing import Mapping
 
 import jax
@@ -129,6 +130,193 @@ def distributed_filter(table: Table, mask, *, mesh: Mesh, axis: str = "shard"):
     return Table(cols), counts
 
 
+def _agg_body(axis, n_keys, plan, *arrs):
+    """shard_map body: per-device segment reduction + boundary combine.
+
+    ``arrs`` = key word planes (first ``n_keys``, locally sorted, valid
+    rows packed first), then one decoded value plane per entry of
+    ``plan.value_cols`` (None entries consume nothing), then per-value
+    normalized order words (for min/max), then the (1,) valid count.
+
+    The distributed analog of the reference's per-bucket parallel finish
+    (recombinating_sort.rs:68-88): every device reduces its resident
+    segments; groups spanning a device boundary (possible when the shuffle
+    rank-splits a single-key bucket) are combined via an all_gather of
+    per-device first-group partials — the owner is the FIRST device
+    holding any of the group's rows, which by global sortedness absorbs
+    exactly the consecutive run of following devices whose first key
+    matches its last key.
+    """
+    arrs = list(arrs)
+    kw = arrs[:n_keys]
+    nvals = len(plan.val_specs)
+    vals = arrs[n_keys : n_keys + nvals]
+    norm_words = arrs[n_keys + nvals : -1]
+    cnt = arrs[-1][0].astype(jnp.int32)
+    n = kw[0].shape[0]
+    me = jax.lax.axis_index(axis)
+    D = jax.lax.psum(1, axis)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    valid = pos < cnt
+    diff = jnp.zeros((n,), jnp.bool_)
+    for w in kw:
+        diff = diff | (w != jnp.roll(w, 1))
+    starts = valid & ((pos == 0) | diff)
+    G = jnp.sum(starts.astype(jnp.int32))
+    # pack group start positions (stable partition; cf. table/ops.py)
+    gstart = jax.lax.sort(
+        (jnp.where(starts, np.uint8(0), np.uint8(1)), pos),
+        num_keys=1, is_stable=True,
+    )[1]
+    gidx = pos
+    gnext = jnp.roll(gstart, -1)
+    gend = jnp.where(gidx == G - 1, cnt - 1, gnext - 1)
+    gend = jnp.clip(gend, 0, n - 1)
+
+    has = cnt > 0
+    fkw = jnp.stack([w[0] for w in kw])  # (nk,)
+    lkw = jnp.stack([w[jnp.clip(cnt - 1, 0, n - 1)] for w in kw])
+
+    # --- local partials, packed by group slot -------------------------
+    def seg_sum(c, acc_dt):
+        m = jnp.where(valid, c.astype(acc_dt), jnp.zeros((), acc_dt))
+        acc = jnp.cumsum(m)
+        ends = jnp.take(acc, gend)
+        st = jnp.where(
+            gstart > 0,
+            jnp.take(acc, jnp.maximum(gstart - 1, 0)),
+            jnp.zeros((), acc_dt),
+        )
+        return ends - st
+
+    sizes = (gend - gstart + 1).astype(jnp.int32)
+    packed: dict = {}
+    vsorted_cache: dict = {}
+    ni = 0
+    for vi, (out_name, op, acc_dt) in enumerate(plan.val_specs):
+        c = vals[vi]
+        if op == "count":
+            packed[out_name] = sizes
+        elif op in ("sum", "mean"):
+            s = seg_sum(c, acc_dt)
+            if op == "sum":
+                packed[out_name] = s
+            else:
+                packed[out_name] = s.astype(jnp.float32) / jnp.maximum(
+                    sizes, 1
+                ).astype(jnp.float32)
+                packed[out_name + "\0sum"] = s
+        elif op == "first":
+            packed[out_name] = jnp.take(c, gstart)
+        elif op == "last":
+            packed[out_name] = jnp.take(c, gend)
+        elif op in ("min", "max"):
+            nw = plan.norm_widths[vi]
+            key = (vi,)
+            if key not in vsorted_cache:
+                vnorm = norm_words[ni : ni + nw]
+                validity = jnp.where(valid, np.uint32(0), np.uint32(1))
+                vsorted_cache[key] = jax.lax.sort(
+                    tuple([validity] + kw + vnorm + [c]),
+                    num_keys=1 + n_keys + nw,
+                    is_stable=True,
+                )[-1]
+            vs = vsorted_cache[key]
+            idx = gstart if op == "min" else gend
+            packed[out_name] = jnp.take(vs, idx)
+        ni += plan.norm_widths[vi]
+
+    # --- boundary combine ---------------------------------------------
+    g_has = jax.lax.all_gather(has, axis)  # (D,)
+    g_fkw = jax.lax.all_gather(fkw, axis)  # (D, nk)
+    g_lkw = jax.lax.all_gather(lkw, axis)
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0).squeeze(-1)
+
+    def keys_eq(a, b):  # (D, nk) vs (nk,) -> (D,)
+        return jnp.all(a == b[None, :], axis=1)
+
+    suppressed = has & jnp.any(
+        (d_iota < me) & g_has & keys_eq(g_lkw, fkw)
+    )
+    contrib = (d_iota > me) & g_has & keys_eq(g_fkw, lkw) & has
+
+    first_partials = {
+        k: jax.lax.all_gather(jnp.take(v, jnp.int32(0)), axis)
+        for k, v in packed.items()
+    }
+    last_slot = jnp.clip(G - 1, 0, n - 1)
+    for vi, (out_name, op, acc_dt) in enumerate(plan.val_specs):
+        fp = first_partials[out_name]
+        if op in ("sum", "count"):
+            add = jnp.sum(jnp.where(contrib, fp, jnp.zeros((), fp.dtype)))
+            packed[out_name] = packed[out_name].at[last_slot].add(
+                add.astype(packed[out_name].dtype)
+            )
+        elif op == "mean":
+            fs = first_partials[out_name + "\0sum"]
+            fc = jax.lax.all_gather(
+                jnp.take(sizes, jnp.int32(0)), axis
+            )
+            s = jnp.take(packed[out_name + "\0sum"], last_slot) + jnp.sum(
+                jnp.where(contrib, fs, jnp.zeros((), fs.dtype))
+            )
+            c2 = jnp.take(sizes, last_slot) + jnp.sum(
+                jnp.where(contrib, fc, 0)
+            )
+            packed[out_name] = packed[out_name].at[last_slot].set(
+                s.astype(jnp.float32) / jnp.maximum(c2, 1).astype(jnp.float32)
+            )
+        elif op in ("min", "max"):
+            red = jnp.min if op == "min" else jnp.max
+            cur = jnp.take(packed[out_name], last_slot)
+            nw = plan.norm_widths[vi]
+            sentinel = plan.sentinels[vi][0 if op == "min" else 1]
+            best = red(
+                jnp.where(contrib, fp, jnp.full((), sentinel, fp.dtype))
+            )
+            packed[out_name] = packed[out_name].at[last_slot].set(
+                red(jnp.stack([cur, best]))
+            )
+        elif op == "last":
+            e = jnp.max(jnp.where(contrib, d_iota, -1))
+            new = jnp.where(
+                e >= 0, jnp.take(fp, jnp.clip(e, 0, D - 1)),
+                jnp.take(packed[out_name], last_slot),
+            )
+            packed[out_name] = packed[out_name].at[last_slot].set(new)
+        # 'first': owner's value already correct
+
+    # also carry sizes for downstream count consistency? (count handled)
+    shift = suppressed.astype(jnp.int32)
+    out_count = G - shift
+    out_keys = [jnp.roll(jnp.take(w, gstart), -shift) for w in kw]
+    outs = tuple(out_keys) + tuple(
+        jnp.roll(packed[name], -shift) for name, _, _ in plan.val_specs
+    )
+    return outs + (out_count[None],)
+
+
+class _AggPlan:
+    """Static per-call aggregation plan (hashable for jit)."""
+
+    def __init__(self, val_specs, norm_widths, sentinels):
+        self.val_specs = tuple(val_specs)  # (out_name, op, acc_dtype)
+        self.norm_widths = tuple(norm_widths)  # words of order-norm per val
+        self.sentinels = tuple(sentinels)  # (min_identity, max_identity)
+
+    def __hash__(self):
+        return hash((self.val_specs, self.norm_widths, self.sentinels))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, _AggPlan)
+            and self.val_specs == other.val_specs
+            and self.norm_widths == other.norm_widths
+            and self.sentinels == other.sentinels
+        )
+
+
 def distributed_group_aggregate(
     table: Table,
     by,
@@ -138,41 +326,131 @@ def distributed_group_aggregate(
     axis: str = "shard",
     capacity_factor: float = 2.0,
 ):
-    """Shuffle-then-local GROUP BY.
+    """Shuffle-then-local GROUP BY, finished entirely inside the mesh.
 
-    The shuffle range-partitions rows by the group key, so each group is
-    wholly resident on one device and no combine step is needed (exactly
-    one output row per group globally). v1 densifies the shuffled table on
-    the host before the final segment reduction — the expensive phase
-    (sort + exchange) is fully distributed; the boundary reduction is a
-    single-device pass. Returns (Table of group rows, n_groups).
+    The shuffle range-partitions rows by the group key; each device then
+    segment-reduces its resident rows in a single ``shard_map`` (sum/count
+    via the cumsum-difference trick, min/max via a value-keyed local sort),
+    and groups that straddle a device boundary — possible when the shuffle
+    rank-splits a single-key bucket — are combined with an all_gather of
+    per-device first-group partials (see :func:`_agg_body`). numpy appears
+    only at the API boundary to densify the per-device outputs.
+    Returns (Table of group rows, n_groups).
     """
-    sorted_t, counts = distributed_sort_table(
-        table,
-        by,
-        mesh=mesh,
-        axis=axis,
-        capacity_factor=capacity_factor,
-        stable=True,
-    )
-    # densify per-device valid slices (host), then aggregate locally —
-    # rows are globally sorted by group key so groups are contiguous.
     by_list = [by] if isinstance(by, str) else list(by)
-    cols = {}
+    for out_name, (col, op) in aggs.items():
+        if op not in ("sum", "count", "mean", "min", "max", "first", "last"):
+            raise ValueError(f"unsupported agg op {op!r}")
+
+    # 1. shuffle rows by group key; value columns ride as payload words.
+    # A value column that is ALSO a group key rides under an alias so it
+    # still arrives as a decodable payload plane.
+    need_cols = sorted({c for c, _ in aggs.values() if c is not None})
+    alias = {c: (c + "\0v" if c in by_list else c) for c in need_cols}
+    sub_cols = {c: table.column(c) for c in by_list}
+    for c in need_cols:
+        sub_cols[alias[c]] = table.column(c)
+    sub = Table(sub_cols)
+    by2, nk, other, enc, payload_words = _encode_table(sub, by_list)
+    words, payloads, counts = distributed_sort(
+        list(nk.words), payload_words, mesh=mesh, axis=axis,
+        capacity_factor=capacity_factor, stable=True,
+    )
     cnts = np.asarray(counts)
     D = cnts.shape[0]
-    for name in sorted_t.column_names:
-        col = np.asarray(sorted_t.column(name)).reshape(D, -1)
-        if (cnts > col.shape[1]).any():
-            raise OverflowError(
-                "shuffle capacity exceeded; raise capacity_factor"
-            )
-        cols[name] = np.concatenate(
-            [col[d, : cnts[d]] for d in range(D)]
-        )
-    dense = Table(cols)
-    out, n_groups = tops.group_aggregate(dense, by_list, aggs)
-    return out, n_groups
+    cap = words[0].shape[0] // D
+    if (cnts > cap).any():
+        raise OverflowError("shuffle capacity exceeded; raise capacity_factor")
+
+    # 2. decode value planes (traceable decoders) & build the static plan
+    dec_cols = {}
+    i = 0
+    for name, (ws, decode) in enc:
+        k = len(ws)
+        dec_cols[name] = decode(list(payloads[i : i + k]))
+        i += k
+    x64 = jax.config.jax_enable_x64
+    val_specs, val_arrays, norm_planes, norm_widths, sentinels = (
+        [], [], [], [], []
+    )
+    for out_name, (col, op) in aggs.items():
+        if col is None or op == "count":
+            c = jnp.zeros((words[0].shape[0],), jnp.int32)
+        else:
+            c = dec_cols[alias[col]]
+        dt = np.dtype(c.dtype)
+        if op in ("sum", "mean"):
+            if jnp.issubdtype(c.dtype, jnp.integer) or dt == np.bool_:
+                acc = jnp.int64 if x64 else jnp.uint32
+            else:
+                acc = jnp.float64 if x64 else jnp.float32
+        else:
+            acc = jnp.int32
+        val_specs.append((out_name, op, np.dtype(acc).name))
+        val_arrays.append(c)
+        if op in ("min", "max"):
+            vnk = _keys.normalize(c)
+            norm_planes.extend(vnk.words)
+            norm_widths.append(vnk.n_words)
+            if dt == np.bool_:
+                sentinels.append((1, 0))
+            elif dt.kind in "iu":
+                info = np.iinfo(dt)
+                sentinels.append((int(info.max), int(info.min)))
+            else:
+                info = np.finfo(dt)
+                sentinels.append((float(info.max), float(info.min)))
+        else:
+            norm_widths.append(0)
+            sentinels.append((0, 0))
+    plan = _AggPlan(
+        [(n_, o_, a_) for n_, o_, a_ in val_specs], norm_widths,
+        tuple(map(tuple, sentinels)),
+    )
+
+    # 3. in-mesh segment reduction + boundary combine
+    body = functools.partial(_agg_body, axis, nk.n_words, plan)
+    n_in = nk.n_words + len(val_arrays) + len(norm_planes) + 1
+    n_out = nk.n_words + len(val_specs) + 1
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(P(axis) for _ in range(n_in)),
+        out_specs=tuple(P(axis) for _ in range(n_out)),
+    )
+    sharding = NamedSharding(mesh, P(axis))
+    args = [jax.device_put(a, sharding)
+            for a in list(words) + val_arrays + norm_planes] + [
+        jax.device_put(jnp.asarray(counts).astype(jnp.int32), sharding)
+    ]
+    out = fn(*args)
+    out_kw = out[: nk.n_words]
+    out_aggs = out[nk.n_words : nk.n_words + len(val_specs)]
+    gcounts = np.asarray(out[-1])
+
+    # 4. API boundary: densify per-device valid group rows (numpy)
+    def dens(plane):
+        p = np.asarray(plane).reshape(D, -1)
+        return np.concatenate([p[d, : gcounts[d]] for d in range(D)])
+
+    dense_kw = [dens(w) for w in out_kw]
+    out_nk = _keys.NormalizedKeys(
+        tuple(jnp.asarray(w) for w in dense_kw), nk.n_bytes, nk.meta
+    )
+    if _has_64bit_keys(nk) and not _x64_enabled():
+        key_vals = _keys.denormalize_host(out_nk)
+    else:
+        key_vals = _keys.denormalize(out_nk)
+    if len(by_list) == 1:
+        key_vals = (key_vals,)
+    cols = dict(zip(by_list, key_vals))
+    for (out_name, op, _), plane in zip(plan.val_specs, out_aggs):
+        v = dens(plane)
+        if op == "count":
+            v = v.astype(np.int32)
+        cols[out_name] = v
+    n_groups = int(gcounts.sum())
+    return Table(cols), jnp.int32(n_groups)
 
 
 def _densify(table: Table, counts) -> list[Table]:
