@@ -482,7 +482,9 @@ def distributed_join(
     capacity_factor: float = 2.0,
     right_capacity_factor: float | None = None,
 ):
-    """Distributed sort-merge equi-join (``right`` keys unique, pk-fk).
+    """Distributed sort-merge equi-join (duplicate right keys expand for
+    ``how="inner"``; ``how="left"`` takes the first match — see
+    :func:`rdst_tpu.table.ops.join`).
 
     Both sides are co-partitioned by the SAME range partition (SURVEY.md
     §7 step 7: "partition both sides by the same MSB shuffle"): the left

@@ -245,87 +245,114 @@ def join(
     how: str = "inner",
     suffix: str = "_r",
 ) -> tuple[Table, jax.Array]:
-    """Sort-merge equi-join; ``right`` keys must be unique (pk-fk join).
+    """Sort-merge equi-join over composite keys of ANY width; ``right``
+    keys may repeat.
 
     Both sides are partitioned by the same normalized key order (the
     distributed pipeline hash/range-partitions both sides identically,
-    SURVEY.md §7 step 7). Probe = batched searchsorted into the sorted
-    right side. Output has left's static length with a ``matched`` count
-    (inner join: matched rows packed first).
+    SURVEY.md §7 step 7). Probe = lexicographic binary search into the
+    sorted right side (:func:`_lex_searchsorted` — device-side for any
+    number of key words).
+
+    ``how="inner"``: output has exactly one row per (left row, matching
+    right row) pair — duplicate right keys EXPAND, in left order then
+    right sorted order — with length = match count (host-materialized;
+    joins are host-driven operators). ``how="left"``: output keeps left's
+    static length; duplicate right keys resolve to the FIRST match in
+    right's sorted order (documented many-one behavior), unmatched rows
+    carry zero-fill and ``_matched=False``.
     """
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
     on_list = [on] if isinstance(on, str) else list(on)
     rs, r_words = _sort_rows(right, on_list, stable=True)
 
-    # normalized single-word probe (supports 1-word keys for v1; wider
-    # composite keys compare via packed big-int words)
     lk = _keys.normalize(
         tuple(left.column(c) for c in on_list)
         if len(on_list) > 1
         else left.column(on_list[0])
     )
-    rk_words = r_words
+    lo = _lex_searchsorted(r_words, list(lk.words), side="left")
+    hi = _lex_searchsorted(r_words, list(lk.words), side="right")
+    matched = hi > lo
+    mult = hi - lo
 
-    idx, matched = _multiword_searchsorted(rk_words, list(lk.words))
+    if how == "left":
+        idx = jnp.clip(lo, 0, max(rs.n_rows - 1, 0))
+        cols = {name: left.column(name) for name in left.column_names}
+        for name in rs.column_names:
+            if name in on_list:
+                continue
+            out_name = name + (suffix if name in left.column_names else "")
+            cols[out_name] = jnp.take(rs.column(name), idx, mode="clip")
+        cols["_matched"] = matched
+        return Table(cols), jnp.sum(matched.astype(jnp.int32))
 
+    # inner: expand duplicate matches. Output length is data-dependent —
+    # one host sync for the total, then a static-shape gather plan.
+    total = int(jnp.sum(mult))
+    if total == 0:
+        cols = {name: jnp.asarray(left.column(name))[:0]
+                for name in left.column_names}
+        for name in rs.column_names:
+            if name in on_list:
+                continue
+            out_name = name + (suffix if name in left.column_names else "")
+            cols[out_name] = jnp.asarray(rs.column(name))[:0]
+        return Table(cols), jnp.int32(0)
+    offs = jnp.cumsum(mult)  # inclusive; offs[i]-mult[i] = exclusive start
+    j = jax.lax.broadcasted_iota(jnp.int32, (total, 1), 0).squeeze(-1)
+    li = jnp.searchsorted(offs, j, side="right").astype(jnp.int32)
+    li = jnp.clip(li, 0, lo.shape[0] - 1)
+    k = j - jnp.take(offs - mult, li)
+    ri = jnp.take(lo, li) + k
     cols = {}
     for name in left.column_names:
-        cols[name] = left.column(name)
+        cols[name] = jnp.take(left.column(name), li, mode="clip")
     for name in rs.column_names:
         if name in on_list:
             continue
         out_name = name + (suffix if name in left.column_names else "")
-        gathered = jnp.take(rs.column(name), idx, mode="clip")
-        cols[out_name] = gathered
-    cols["_matched"] = matched
-    t = Table(cols)
-    if how == "left":
-        return t, jnp.sum(matched.astype(jnp.int32))
-    ft, cnt = filter(t, matched)
-    return ft.select([c for c in ft.column_names if c != "_matched"]), cnt
+        cols[out_name] = jnp.take(rs.column(name), ri, mode="clip")
+    return Table(cols), jnp.int32(total)
 
 
-def _multiword_searchsorted(sorted_words, query_words):
-    """Find each query key's position in the sorted multi-word key list.
+def _lex_searchsorted(sorted_words, query_words, *, side="left"):
+    """Vectorized lexicographic binary search over multi-word u32 keys.
 
-    Returns (index of exact match or 0, matched mask). Multi-word keys are
-    compared by chaining searchsorted over a combined float-free encoding:
-    v1 packs up to 2 uint32 words into a sortable uint64 when x64 is on,
-    else compares word-by-word with masked refinement.
+    ``sorted_words``: word planes of the (lexicographically) sorted haystack
+    (most significant first); ``query_words``: same-width query planes.
+    Returns insertion positions in [0, m] — ``side="left"`` counts strictly
+    smaller haystack keys, ``side="right"`` counts smaller-or-equal. Runs
+    fully on device for ANY word count (the reference's comparator packs up
+    to 16 levels into one integer, comparative_sort.rs:29-51; multi-word
+    keys here compare word-by-word with a prefix-equality chain).
+
+    Branchless power-of-two descent: log2(m) rounds, each a clipped gather
+    of the candidate key + a lexicographic compare.
     """
-    nw = len(sorted_words)
-    if nw == 1:
-        s = sorted_words[0]
-        q = query_words[0]
-        idx = jnp.searchsorted(s, q, side="left").astype(jnp.int32)
-        idxc = jnp.minimum(idx, s.shape[0] - 1)
-        matched = jnp.take(s, idxc) == q
-        return idxc, matched
-    if nw == 2:
-        if jax.config.jax_enable_x64:
-            s = (sorted_words[0].astype(jnp.uint64) << np.uint64(32)) | (
-                sorted_words[1].astype(jnp.uint64)
-            )
-            q = (query_words[0].astype(jnp.uint64) << np.uint64(32)) | (
-                query_words[1].astype(jnp.uint64)
-            )
-            idx = jnp.searchsorted(s, q, side="left").astype(jnp.int32)
-            idxc = jnp.minimum(idx, s.shape[0] - 1)
-            matched = jnp.take(s, idxc) == q
-            return idxc, matched
-        # no x64: exact 64-bit probe on the host with numpy uint64 (a
-        # first-position-only device probe misses matches whenever hi
-        # words repeat — verified in review). Joins are host-driven
-        # operators, so the round trip is acceptable.
-        s = (np.asarray(sorted_words[0]).astype(np.uint64) << np.uint64(32)) | (
-            np.asarray(sorted_words[1]).astype(np.uint64)
-        )
-        q = (np.asarray(query_words[0]).astype(np.uint64) << np.uint64(32)) | (
-            np.asarray(query_words[1]).astype(np.uint64)
-        )
-        idx = np.searchsorted(s, q, side="left").astype(np.int32)
-        idxc = np.minimum(idx, len(s) - 1)
-        matched = s[idxc] == q
-        return jnp.asarray(idxc), jnp.asarray(matched)
-    raise NotImplementedError("joins support keys up to 64 bits")
+    m = int(sorted_words[0].shape[0])
+    nq = query_words[0].shape[0]
+    pos = jnp.zeros((nq,), jnp.int32)
+    if m == 0:
+        return pos
+    want_leq = side == "right"
+
+    def lex_le_lt(cand):
+        """sorted[cand-1] < q  (or <= for side='right')."""
+        at = jnp.clip(cand - 1, 0, m - 1)
+        lt = jnp.zeros((nq,), jnp.bool_)
+        eq = jnp.ones((nq,), jnp.bool_)
+        for sw, qw in zip(sorted_words, query_words):
+            s = jnp.take(sw, at)
+            lt = lt | (eq & (s < qw))
+            eq = eq & (s == qw)
+        return (lt | eq) if want_leq else lt
+
+    step = 1 << (m.bit_length() - 1)
+    while step >= 1:
+        cand = pos + step
+        take = (cand <= m) & lex_le_lt(cand)
+        pos = jnp.where(take, cand, pos)
+        step //= 2
+    return pos

@@ -83,6 +83,7 @@ def bench(label, fn, x0, iters=8, bytes_per_el=None):
 def p1_copy():
     TILE = 1 << 19
     n = 1 << 25
+    R = TILE // 128
 
     def kernel(x_ref, o_ref):
         o_ref[...] = x_ref[...] + jnp.uint32(1)  # +1 defeats copy-elision
@@ -91,65 +92,76 @@ def p1_copy():
         return pl.pallas_call(
             kernel,
             grid=(n // TILE,),
-            in_specs=[pl.BlockSpec((1, TILE), lambda t: (t, 0),
+            in_specs=[pl.BlockSpec((1, R, 128), lambda t: (t, 0, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, TILE), lambda t: (t, 0),
+            out_specs=pl.BlockSpec((1, R, 128), lambda t: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n // TILE, TILE), jnp.uint32),
-        )(x.reshape(n // TILE, TILE)).reshape(n)
+            out_shape=jax.ShapeDtypeStruct((n // TILE, R, 128), jnp.uint32),
+        )(x.reshape(n // TILE, R, 128)).reshape(n)
 
     x = jnp.arange(n, dtype=jnp.uint32)
     bench("P1 pallas passthrough 2^25 u32", run, x, bytes_per_el=8)
 
 
 # ------------------------------------------------------- P2: DMA run scatter
-def _runs_kernel(off_ref, x_ref, o_hbm, sems, *, d_runs, run):
+# Layout: elements grouped into 128-lane rows; offsets are in ROW units so
+# every DMA is a (rows,128) slab — the 128-lane-aligned shape DMA wants.
+def _runs_kernel(off_ref, x_ref, o_hbm, sems, *, d_runs, rrows):
     t = pl.program_id(0)
     for d in range(d_runs):
-        off = pl.multiple_of(off_ref[t * d_runs + d], run)
+        off = pl.multiple_of(off_ref[t * d_runs + d], rrows)
         pltpu.make_async_copy(
-            x_ref.at[0, pl.ds(d * run, run)],
-            o_hbm.at[pl.ds(off, run)],
+            x_ref.at[0, pl.ds(d * rrows, rrows), :],
+            o_hbm.at[pl.ds(off, rrows), :],
             sems.at[d % 8],
         ).start()
-        if d % 8 == 7:
-            for s in range(8):
+        if d % 8 == 7 or d == d_runs - 1:
+            lo = (d // 8) * 8
+            for s in range(lo, d + 1):
                 pltpu.make_async_copy(
-                    x_ref.at[0, pl.ds(0, run)],
-                    o_hbm.at[pl.ds(0, run)],
-                    sems.at[s],
+                    x_ref.at[0, pl.ds(0, rrows), :],
+                    o_hbm.at[pl.ds(0, rrows), :],
+                    sems.at[s % 8],
                 ).wait()
 
 
-def p2_runs():
+def p2_runs(d_list=(8, 32, 128)):
     n = 1 << 24
     TILE = 1 << 15  # 32K elements per tile in VMEM
-    for d_runs in (8, 32, 128):
+    nrows = n // 128
+    trows = TILE // 128
+    for d_runs in d_list:
         run = TILE // d_runs
+        rrows = run // 128
+        if rrows == 0:
+            print(f"P2 D={d_runs}: run < 128, skip", flush=True)
+            continue
         tiles = n // TILE
-        # offsets: run-granular transpose — dst[t,d] = d*(tiles*run) + t*run
+        # offsets (in rows): run-granular transpose —
+        # dst[t,d] = d*(tiles*rrows) + t*rrows
         off = (
-            np.arange(d_runs)[None, :] * (tiles * run)
-            + np.arange(tiles)[:, None] * run
+            np.arange(d_runs)[None, :] * (tiles * rrows)
+            + np.arange(tiles)[:, None] * rrows
         ).astype(np.int32).reshape(-1)
         off = jnp.asarray(off)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(tiles,),
-            in_specs=[pl.BlockSpec((1, TILE), lambda t, *_: (t, 0),
+            in_specs=[pl.BlockSpec((1, trows, 128), lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA((8,))],
         )
 
-        def run_fn(x, off=off, d_runs=d_runs, run=run, grid_spec=grid_spec):
+        def run_fn(x, off=off, d_runs=d_runs, rrows=rrows,
+                   grid_spec=grid_spec):
             return pl.pallas_call(
-                functools.partial(_runs_kernel, d_runs=d_runs, run=run),
+                functools.partial(_runs_kernel, d_runs=d_runs, rrows=rrows),
                 grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct((n,), jnp.uint32),
+                out_shape=jax.ShapeDtypeStruct((nrows, 128), jnp.uint32),
                 compiler_params=pltpu.CompilerParams(has_side_effects=True),
-            )(off, x.reshape(tiles, TILE))
+            )(off, x.reshape(tiles, trows, 128)).reshape(n)
 
         x = jnp.arange(n, dtype=jnp.uint32)
         # correctness: run-granular transpose

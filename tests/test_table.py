@@ -133,3 +133,66 @@ def test_group_aggregate_single_group(rng):
     out, count = t.group_aggregate("g", {"s": ("v", "sum")})
     assert int(count) == 1
     assert float(np.asarray(out["s"])[0]) == 1000 * 999 / 2
+
+
+def test_join_inner_duplicate_right_keys(rng):
+    """Duplicate right keys EXPAND: one output row per match pair."""
+    right = Table(
+        {
+            "k": np.array([1, 1, 2, 5, 5, 5], np.uint32),
+            "label": np.array([10, 11, 20, 50, 51, 52], np.uint32),
+        }
+    )
+    left = Table(
+        {
+            "k": np.array([5, 1, 3, 2, 5], np.uint32),
+            "x": np.arange(5, dtype=np.uint32),
+        }
+    )
+    joined, count = left.join(right, on="k")
+    c = int(count)
+    assert c == 3 + 2 + 1 + 3  # 5->3 matches, 1->2, 2->1, 5->3
+    got = list(zip(np.asarray(joined["k"]).tolist(),
+                   np.asarray(joined["x"]).tolist(),
+                   np.asarray(joined["label"]).tolist()))
+    want = [(5, 0, 50), (5, 0, 51), (5, 0, 52),
+            (1, 1, 10), (1, 1, 11),
+            (2, 3, 20),
+            (5, 4, 50), (5, 4, 51), (5, 4, 52)]
+    assert got == want
+
+
+def test_join_left_duplicate_right_first_match(rng):
+    right = Table({"k": np.array([7, 7], np.uint32),
+                   "v": np.array([1, 2], np.uint32)})
+    left = Table({"k": np.array([7, 8], np.uint32),
+                  "x": np.array([0, 1], np.uint32)})
+    joined, count = left.join(right, on="k", how="left")
+    assert int(count) == 1
+    assert np.asarray(joined["v"]).tolist()[0] == 1  # first match
+    assert np.asarray(joined["_matched"]).tolist() == [True, False]
+
+
+def test_join_wide_composite_key(rng):
+    """Composite key wider than 64 bits (u64 + u32 = 96 bits)."""
+    n = 2000
+    hi = rng.integers(0, 2**63, n).astype(np.uint64)
+    lo2 = rng.integers(0, 2**32, n, dtype=np.int64).astype(np.uint32)
+    right = Table({"a": hi[:500], "b": lo2[:500],
+                   "lab": np.arange(500, dtype=np.uint32)})
+    left = Table({"a": hi, "b": lo2, "x": np.arange(n, dtype=np.uint32)})
+    joined, count = left.join(right, on=["a", "b"])
+    c = int(count)
+    assert c == 500  # keys unique, first 500 rows match themselves
+    assert sorted(np.asarray(joined["lab"]).tolist()) == list(range(500))
+    # matched left rows are exactly x < 500
+    assert sorted(np.asarray(joined["x"]).tolist()) == list(range(500))
+
+
+def test_join_inner_no_matches():
+    right = Table({"k": np.array([100], np.uint32),
+                   "v": np.array([1], np.uint32)})
+    left = Table({"k": np.array([1, 2, 3], np.uint32),
+                  "x": np.array([0, 1, 2], np.uint32)})
+    joined, count = left.join(right, on="k")
+    assert int(count) == 0 and joined.n_rows == 0
