@@ -196,7 +196,10 @@ def _register_default_plans():
 
     def msb_plan(words, payloads, ctx: PlanContext):
         counts = ctx.hist.counts if ctx.hist is not None else None
-        return bucketed_sort(words, payloads, counts, stable=ctx.stable)
+        return bucketed_sort(
+            words, payloads, counts, stable=ctx.stable, tuner=ctx.tuner,
+            parallel=ctx.parallel,
+        )
 
     def regions_plan(words, payloads, ctx: PlanContext):
         return chunked_sort(words, payloads, stable=ctx.stable)

@@ -1,31 +1,36 @@
-"""MSB bucketed plans: partition by the top byte, then batched bucket sorts.
+"""MSB bucketed plans: partition by the top byte, then per-bucket plans.
 
 TPU re-design of the reference's MSB family — ``Ska`` (in-place bucket
-scatter, ska_sort.rs:72-112), ``MtOop`` (one out-of-place MSB pass then
-recursion, mt_lsb_sort.rs:197-235), ``Recombinating`` (tile sorts + bucket
-gather, recombinating_sort.rs:44-112) and ``Scanning`` (huge-input MSB
-scatter, scanning_sort.rs:91-241). Their shared shape: one most-significant
-partition, then independent per-bucket work.
+scatter with dominant-bucket pre-partition, ska_sort.rs:52-112), ``MtOop``
+(one out-of-place MSB pass then recursion, mt_lsb_sort.rs:197-235),
+``Recombinating`` (tile sorts + bucket gather, recombinating_sort.rs:44-112)
+and ``Scanning`` (huge-input MSB scatter, scanning_sort.rs:91-241). Their
+shared shape: one most-significant partition, then independent per-bucket
+work chosen by RE-CONSULTING the tuner per bucket (sorter.rs:121-171).
 
-On TPU the data-dependent per-bucket recursion becomes a static-shape
-batched program:
+On TPU the data-dependent per-bucket recursion becomes:
 
-  1. stable partition by the top byte (a one-operand-key sorting-network
-     pass) — bucket boundaries come from the already-known histogram,
-  2. pad buckets to the max bucket size via vmapped dynamic slices
-     ((256, cap) layout, cheap static-size extraction),
-  3. ONE batched sort over all bucket rows — rows of n/256 elements sort
-     ~2-5x faster per element than one big sort (measured: 0.47 ns/el at
-     4096 rows vs 2.44 ns/el full, scripts/probe3.py),
-  4. ragged DMA writeback of the valid prefixes (ops/ragged_concat).
+  1. stable partition by the top TWO bytes (one 1-key-operand network pass;
+     the finer 16-bit order makes every bucket's next-level histogram a
+     free searchsorted over the sorted combined plane),
+  2. per-bucket depth-1 tuner picks from those histograms — the reference's
+     per-chunk re-tuning (sorter.rs:134-138) at plan time,
+  3. dominant buckets (whose padding would blow the batched layout) are
+     CARVED OUT as contiguous static slices — the pod-scale ska rule
+     (ska_sort.rs:52-65) on a single chip. A carved single-key bucket is
+     detected by min==max device reductions and skipped entirely (the
+     Zipf hot-key fast path); otherwise the bucket runs its own depth-1
+     plan (packed radix for LSB-family picks, the network otherwise).
+  4. remaining buckets are padded into (256, cap) rows and sorted in ONE
+     batched stable sort — rows of n/256 elements sort ~2-5x faster per
+     element than one big sort (0.47 ns/el at 4096 rows vs 2.44 full,
+     scripts/probe3.py),
+  5. ragged writeback of valid prefixes, splicing carved blocks back in
+     bucket order.
 
-Stability: row pads start at the row tail and the batched sort is stable,
-so pads stay behind equal real keys; valid prefixes are exact.
-
-Skew: a dominant bucket makes cap ~ n and the padding blows up — the
-tuners already route skewed inputs elsewhere (standard_tuner.rs:20-43);
-``bucketed_sort`` also self-checks and falls back to the comparative plan
-when padding would exceed ``max_expansion``.
+Stability: the partition is stable, row pads start at the row tail, the
+batched sort is stable, and carved buckets sort stably in place — so the
+composition is stable.
 """
 from __future__ import annotations
 
@@ -38,22 +43,53 @@ import numpy as np
 from rdst_tpu import config
 from rdst_tpu.ops.ragged_concat import ragged_concat_multi
 from rdst_tpu.sorts.comparative import comparative_sort
+from rdst_tpu.tuner import Algorithm, TuningParams
 
 __all__ = ["bucketed_sort"]
 
 RADIX = 256
+MAX_CARVED = 8  # static slices per sort; more would bloat the graph
+
+#: Algorithm names whose TPU execution is the packed/compacted radix plan
+_PACKED_FAMILY = frozenset(
+    {Algorithm.LSB, Algorithm.LR_LSB, Algorithm.MT_LSB, Algorithm.SKA}
+)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _trace_fallback(reason: str) -> None:
-    # the sorter's pick trace has already printed the bucketed algorithm
-    # name; make the degrade visible under work_profiles so nobody
-    # benchmarks the wrong plan (reference trace style, sorter.rs:78-79)
+def _trace(msg: str) -> None:
     if config.work_profiles_enabled():
-        print(f"(msb) FALLBACK: Comparative ({reason})")
+        print(msg)
+
+
+def _level_byte(words, counts_levels: int, level: int) -> jax.Array:
+    """The ``level``-th (LSB-first) byte of every key, as uint32 in [0,256)."""
+    n_words = len(words)
+    widx = n_words - 1 - (level // 4)
+    shift = np.uint32((level % 4) * 8)
+    return (words[widx] >> shift) & np.uint32(0xFF)
+
+
+def _carve_plan(top: np.ndarray, n: int, max_expansion: float):
+    """Pick buckets to carve out so the padded batched layout stays cheap.
+
+    Greedy largest-first (the reference carves exactly one — the >50%
+    bucket, ska_sort.rs:52-65; several can dominate under multi-hot skew).
+    Returns (carved bucket ids ascending, row cap for the rest) or None if
+    even MAX_CARVED carves can't tame the padding.
+    """
+    order = np.argsort(top)[::-1]
+    carved: list[int] = []
+    for k in range(MAX_CARVED + 1):
+        rest_max = int(top[order[k]]) if k < RADIX else 0
+        cap = _round_up(max(rest_max, 8), 8)
+        if cap * (RADIX - k) <= max_expansion * max(n, 1):
+            carved = sorted(int(b) for b in order[:k])
+            return carved, cap
+    return None
 
 
 def bucketed_sort(
@@ -62,9 +98,14 @@ def bucketed_sort(
     counts: np.ndarray | None,
     *,
     stable: bool = False,
+    tuner=None,
+    parallel: bool = True,
     max_expansion: float = 1.8,
 ) -> tuple[list[jax.Array], list[jax.Array]]:
-    """Top-byte partition + batched per-bucket sorts + ragged writeback."""
+    """Top-byte partition + per-bucket re-tuned plans + ragged writeback."""
+    from rdst_tpu.ops.histogram import multi_level_histogram
+    from rdst_tpu.sorts.lsb import packed_sort
+
     words = list(words)
     payloads = list(payloads)
     n = int(words[0].shape[0])
@@ -73,35 +114,106 @@ def bucketed_sort(
     if n > config.max_bucketed_elements:
         # compile-time guard: the padded-bucket graph's compile cost grows
         # steeply with n (config.max_bucketed_elements)
-        _trace_fallback(
-            f"n={n} > max_bucketed_elements={config.max_bucketed_elements}"
+        _trace(
+            f"(msb) FALLBACK: Comparative (n={n} > "
+            f"max_bucketed_elements={config.max_bucketed_elements})"
         )
         return comparative_sort(words, payloads, stable=stable)
     top = counts[-1]  # most significant level histogram
-    cap = _round_up(max(int(top.max()), 8), 8)
-    if cap * RADIX > max_expansion * n:
-        # skewed / tiny buckets: padding too costly — comparative fallback
-        _trace_fallback(f"padding {cap * RADIX}/{n} > {max_expansion}x")
-        return comparative_sort(words, payloads, stable=stable)
-
-    # 1. stable partition by top byte (a 1-key-operand network pass; the
-    # remaining planes ride as payloads). The MSB level sits at byte
-    # (L-1) % 4 of the first word (keys are right-aligned in words).
     L = counts.shape[0]
-    shift = np.uint32(((L - 1) % 4) * 8)
-    top_byte = ((words[0] >> shift) & np.uint32(0xFF)).astype(jnp.uint8)
+    plan = _carve_plan(top, n, max_expansion)
+    if plan is None:
+        _trace("(msb) FALLBACK: Comparative (padding untameable)")
+        return comparative_sort(words, payloads, stable=stable)
+    carved, cap = plan
+
+    # 1. stable partition by the top TWO bytes (16-bit combined key). The
+    # extra byte costs nothing (still one u32 key operand) and its sorted
+    # order yields every bucket's next-level histogram via searchsorted.
+    top_b = _level_byte(words, L, L - 1)
+    if L >= 2:
+        combined = (top_b << np.uint32(8)) | _level_byte(words, L, L - 2)
+    else:
+        combined = top_b
     part = jax.lax.sort(
-        (top_byte,) + tuple(words) + tuple(payloads),
+        (combined,) + tuple(words) + tuple(payloads),
         num_keys=1,
         is_stable=True,
     )
     part_planes = list(part[1:])
+    n_words = len(words)
 
-    # 2. pad buckets into (256, cap) rows
-    lengths = jnp.asarray(top.astype(np.int32))
-    starts = jnp.asarray(
-        (np.cumsum(top) - top).astype(np.int32)
-    )
+    # 2. per-bucket depth-1 re-tuning (reference: sorter.rs:121-171 re-picks
+    # per 256-bucket). hist2[b] = bucket b's level-(L-2) histogram.
+    picks: dict[int, Algorithm] = {}
+    if tuner is not None and L >= 2:
+        edges = jnp.searchsorted(
+            part[0], jnp.arange(RADIX * RADIX + 1, dtype=jnp.uint32),
+            side="left",
+        )
+        hist2 = np.asarray(edges[1:] - edges[:-1]).reshape(RADIX, RADIX)
+        for b in range(RADIX):
+            ln = int(top[b])
+            if ln == 0:
+                continue
+            picks[b] = tuner.pick_algorithm(
+                TuningParams(
+                    threads=8 if parallel else 1,
+                    level=L - 2,
+                    total_levels=L,
+                    input_len=ln,
+                    parent_len=n,
+                ),
+                hist2[b].tolist(),
+            )
+        if config.work_profiles_enabled():
+            names: dict[str, int] = {}
+            for b, a in picks.items():
+                if b not in carved:
+                    names[a.value] = names.get(a.value, 0) + 1
+            summary = " ".join(f"{k}x{v}" for k, v in sorted(names.items()))
+            _trace(f"({L - 2}) PLAN: BatchedRows[{summary}] cap={cap}")
+
+    starts_np = (np.cumsum(top) - top).astype(np.int64)
+
+    # 3. carved dominant buckets: contiguous static slices, each with its
+    # own depth-1 plan (ska_sort.rs:52-65 brought down from pod scale).
+    carved_out: dict[int, tuple[list, list]] = {}
+    for b in carved:
+        s, ln = int(starts_np[b]), int(top[b])
+        if ln == 0:
+            carved_out[b] = ([p[0:0] for p in part_planes[:n_words]],
+                             [p[0:0] for p in part_planes[n_words:]])
+            continue
+        bw = [p[s : s + ln] for p in part_planes[:n_words]]
+        bp = [p[s : s + ln] for p in part_planes[n_words:]]
+        single_key = all(
+            bool(jnp.min(w) == jnp.max(w)) for w in bw
+        )
+        if single_key:
+            # Zipf hot-key fast path: nothing to sort; the stable
+            # partition already left payloads in stable order.
+            _trace(f"({L - 2}) PLAN: SingleKeySkip len={ln} bucket={b}")
+            carved_out[b] = (bw, bp)
+            continue
+        algo = picks.get(b, Algorithm.COMPARATIVE)
+        _trace(f"({L - 2}) PLAN: {algo.value} len={ln} bucket={b} (carved)")
+        if algo in _PACKED_FAMILY:
+            bhist = multi_level_histogram(bw, L)
+            sw, sp = packed_sort(
+                bw, bp, bhist.counts,
+                stable=True if algo is not Algorithm.SKA else stable,
+            )
+        else:
+            sw, sp = comparative_sort(bw, bp, stable=stable)
+        carved_out[b] = (list(sw), list(sp))
+
+    # 4. the rest: pad buckets into (256, cap) rows + one batched sort
+    lengths_np = top.astype(np.int64).copy()
+    for b in carved:
+        lengths_np[b] = 0  # excluded rows contribute nothing
+    lengths = jnp.asarray(lengths_np.astype(np.int32))
+    starts = jnp.asarray(starts_np.astype(np.int32))
     pos = jax.lax.broadcasted_iota(jnp.int32, (RADIX, cap), 1)
     valid = pos < lengths[:, None]
 
@@ -116,18 +228,38 @@ def bucketed_sort(
         rows = jax.vmap(row)(starts)
         return jnp.where(valid, rows, fill)
 
-    n_words = len(words)
     bucket_rows = [
         extract(p, np.uint32(0xFFFFFFFF) if i < n_words else np.uint32(0))
         for i, p in enumerate(part_planes)
     ]
-
-    # 3. one batched stable sort over all bucket rows (stability keeps row
-    # pads behind equal real all-ones keys)
     srt = jax.lax.sort(
         tuple(bucket_rows), num_keys=n_words, dimension=1, is_stable=True
     )
 
-    # 4. ragged writeback of valid prefixes (bucket-major = sorted order)
-    out = ragged_concat_multi(list(srt), lengths, n)
+    # 5. writeback in bucket order, splicing carved blocks between ragged
+    # ranges of batched rows (all offsets are host-static from `counts`).
+    pieces: list[list[jax.Array]] = []
+    b0 = 0
+    bounds = carved + [RADIX]
+    for b in bounds:
+        if b > b0:
+            seg_total = int(top[b0:b].sum())
+            if seg_total > 0:
+                rows_seg = [p[b0:b] for p in srt]
+                pieces.append(
+                    ragged_concat_multi(
+                        rows_seg, lengths[b0:b], seg_total
+                    )
+                )
+        if b < RADIX:
+            cw, cp = carved_out[b]
+            if cw and int(cw[0].shape[0]) > 0:
+                pieces.append(list(cw) + list(cp))
+        b0 = b + 1
+    if not pieces:
+        return words, payloads
+    out = [
+        jnp.concatenate([piece[i] for piece in pieces])
+        for i in range(len(part_planes))
+    ]
     return out[:n_words], out[n_words:]

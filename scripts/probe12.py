@@ -125,7 +125,7 @@ def _runs_kernel(off_ref, x_ref, o_hbm, sems, *, d_runs, rrows):
                 ).wait()
 
 
-def p2_runs(d_list=(8, 32, 128)):
+def p2_runs(d_list=(8, 32, 128, 256)):
     n = 1 << 24
     TILE = 1 << 15  # 32K elements per tile in VMEM
     nrows = n // 128

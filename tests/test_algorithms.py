@@ -110,3 +110,82 @@ def test_remapped_names_still_correct(rng):
         )
         got = run_single_algorithm(algo, x)
         np.testing.assert_array_equal(got, np.sort(x))
+
+
+class _Depth1Tuner:
+    """MT_OOP at the top level, StandardTuner below — exercises the
+    bucketed plan's per-bucket re-tuning (reference re-picks per 256-bucket
+    at every recursion level, sorter.rs:121-171)."""
+
+    def __init__(self):
+        self._std = rt.StandardTuner()
+        self.picks = []
+
+    def pick_algorithm(self, p, counts):
+        if p.depth == 0:
+            return rt.Algorithm.MT_OOP
+        algo = self._std.pick_algorithm(p, counts)
+        self.picks.append((p.level, p.input_len, algo))
+        return algo
+
+
+def test_bucketed_per_bucket_retune_differs_from_depth0(rng):
+    """Skewed-inside-uniform: depth-1 picks must differ from the depth-0
+    pick AND from each other (hot bucket vs uniform buckets) — VERDICT
+    round-1 item 5's done-criterion."""
+    n = 200_000
+    x = rng.integers(0, 2**32, size=n, dtype=np.int64).astype(np.uint32)
+    # one hot KEY inside an otherwise uniform distribution: ~35% of all
+    # rows share one value => its bucket is skewed inside, others uniform
+    hot = np.uint32(0x37AB_12CD)
+    x[: int(n * 0.35)] = hot
+    rng.shuffle(x)
+    tuner = _Depth1Tuner()
+    ks = rt.RadixSortBuilder(x).with_tuner(tuner).sort()
+    np.testing.assert_array_equal(ks, np.sort(x))
+    assert tuner.picks, "per-bucket re-tuning never consulted the tuner"
+    picked = {a for (_, _, a) in tuner.picks}
+    assert rt.Algorithm.MT_OOP not in picked  # depth-1 differs from depth-0
+    assert len(picked) >= 2, f"expected diverse depth-1 picks, got {picked}"
+
+
+def test_bucketed_dominant_bucket_no_fallback(rng, capsys):
+    """A 50% hot key no longer degrades MT_OOP to wholesale comparative:
+    the dominant bucket is carved out (single-key skip) and the rest stays
+    batched — VERDICT round-1 item 10's done-criterion (ska_sort.rs:52-65
+    on one chip)."""
+    from rdst_tpu import config
+
+    n = 120_000
+    x = rng.integers(0, 2**32, size=n, dtype=np.int64).astype(np.uint32)
+    x[(x >> 24) == 0x55] ^= np.uint32(1 << 24)  # keep top byte 0x55 pure
+    x[: n // 2] = np.uint32(0x5555_AAAA)
+    rng.shuffle(x)
+    v = np.arange(n, dtype=np.uint32)
+    with config.work_profiles(True):
+        ks, (vs,) = (
+            rt.radix_sort_builder(x, [v])
+            .with_algorithm(rt.Algorithm.MT_OOP)
+            .with_stable(True)
+            .sort()
+        )
+        trace = capsys.readouterr().out
+    order = np.argsort(x, kind="stable")
+    np.testing.assert_array_equal(ks, x[order])
+    np.testing.assert_array_equal(vs, v[order])
+    assert "FALLBACK" not in trace, trace
+    assert "SingleKeySkip" in trace, trace
+
+
+def test_bucketed_dominant_multikey_carve(rng):
+    """Dominant bucket with MANY distinct keys: carved and sorted via its
+    own depth-1 plan (not skipped)."""
+    n = 100_000
+    # 60% of keys share the top byte 0x42 but vary below
+    x = rng.integers(0, 2**32, size=n, dtype=np.int64).astype(np.uint32)
+    hot = (rng.integers(0, 2**24, size=int(n * 0.6), dtype=np.int64)
+           .astype(np.uint32) | np.uint32(0x42000000))
+    x[: hot.shape[0]] = hot
+    rng.shuffle(x)
+    got = run_single_algorithm(rt.Algorithm.MT_OOP, x)
+    np.testing.assert_array_equal(got, np.sort(x))
