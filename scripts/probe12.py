@@ -204,8 +204,10 @@ def _bin_kernel(x_ref, o_ref, *, blocks, shift):
                        preferred_element_type=jnp.float32)  # prefix[d_i]
         pos = (base + rank).astype(jnp.int32).reshape(1, 256)  # (1,256 elems)
         posoh = bins_col == pos  # (256 out, 256 elems)
-        out = jnp.sum(jnp.where(posoh, x, jnp.uint32(0)), axis=1)
-        o_ref[b, :] = out.reshape(256)
+        # Mosaic can't reduce unsigned ints — accumulate as int32 (same bits)
+        xi = pltpu.bitcast(x, jnp.int32)
+        out = jnp.sum(jnp.where(posoh, xi, jnp.int32(0)), axis=1)
+        o_ref[b, :] = pltpu.bitcast(out.reshape(256), jnp.uint32)
 
 
 def p3_bin256():
