@@ -445,6 +445,7 @@ def partition_exchange(
     axis: str = "shard",
     capacity_factor: float = 2.0,
     stable: bool = False,
+    use_ragged: bool | None = None,
 ):
     """Route rows to devices by an EXISTING partition (co-partitioning).
 
@@ -469,7 +470,8 @@ def partition_exchange(
     arrs = tuple(words) + tuple(payloads)
     sharding = NamedSharding(mesh, P(axis))
     arrs = tuple(jax.device_put(a, sharding) for a in arrs)
-    use_ragged = jax.default_backend() == "tpu"
+    if use_ragged is None:
+        use_ragged = jax.default_backend() == "tpu"
     out, counts = _partition_exchange_jit(
         arrs, tuple(partition), mesh, axis, len(words), capacity, stable,
         use_ragged,
@@ -488,6 +490,7 @@ def distributed_sort(
     stable: bool = False,
     split_uniform: bool = True,
     return_partition: bool = False,
+    use_ragged: bool | None = None,
 ):
     """Sort globally over a mesh axis.
 
@@ -513,7 +516,8 @@ def distributed_sort(
     arrs = tuple(words) + tuple(payloads)
     sharding = NamedSharding(mesh, P(axis))
     arrs = tuple(jax.device_put(a, sharding) for a in arrs)
-    use_ragged = jax.default_backend() == "tpu"
+    if use_ragged is None:
+        use_ragged = jax.default_backend() == "tpu"
     out, counts, partition = _distributed_sort_jit(
         arrs, mesh, axis, len(words), capacity, stable, use_ragged,
         split_uniform=split_uniform, return_partition=return_partition,
