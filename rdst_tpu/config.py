@@ -37,6 +37,19 @@ max_bucketed_elements = int(
     os.environ.get("RDST_TPU_MAX_BUCKETED", str(20_000_000))
 )
 
+#: Working-set size (bytes, all operand planes) above which the REGIONS
+#: plan actually engages its low-memory chunked machinery. The reference
+#: picks Regions for RESOURCE reasons (bounded extra workspace,
+#: regions_sort.rs:3-10); below real memory pressure the measured-fastest
+#: executor for Regions' tuner regime (large skewed/low-entropy inputs)
+#: is the level-compaction plan — the chunked path's bitonic merge tree
+#: costs ~3.5x a direct network sort (probe12 P5), a price only worth
+#: paying when 2-3x sort workspace would not fit. v5e HBM is 16 GiB;
+#: the default engages chunking when planes exceed 2 GiB.
+low_mem_threshold_bytes = int(
+    os.environ.get("RDST_TPU_LOW_MEM_THRESHOLD", str(2 << 30))
+)
+
 
 # work_profiles-equivalent: trace per-level algorithm picks
 # (reference: Cargo.toml:18, src/sorter.rs:78-79).

@@ -166,10 +166,13 @@ def _register_default_plans():
                               reference's in-place ska)
       RECOMBINATING,
       SCANNING             -> the reference's large-uniform picks; on TPU
-                              the measured-fastest dense plan IS the
+                              the measured-fastest dense plan is the
                               network (0.91 ns/el vs 4.7 for the padded
-                              bucket pipeline at uniform 10M), so these
-                              map to comparative
+                              bucket pipeline at uniform 10M), entered
+                              through the level-compaction pre-pass
+                              (packed_sort falls back to the plain network
+                              when nothing compacts, and narrows/drops
+                              words when the histogram allows)
       MT_OOP               -> MSB bucketed partition + batched bucket
                               sorts + ragged writeback (sorts/msb.py) —
                               kept as the explicitly requestable bucketed
@@ -202,6 +205,17 @@ def _register_default_plans():
         )
 
     def regions_plan(words, payloads, ctx: PlanContext):
+        # The reference's Regions is a resource policy, not a speed play
+        # (regions_sort.rs:3-10). Engage the chunked low-memory machinery
+        # only under real memory pressure; otherwise Regions' tuner regime
+        # (large skewed/low-entropy inputs) executes the measured-fastest
+        # plan for that regime — level compaction (probe12 P5: the XLA
+        # bitonic merge tree costs ~3.5x a direct network sort).
+        n = int(words[0].shape[0])
+        working_set = n * (len(words) + len(payloads)) * 4
+        if working_set < config.low_mem_threshold_bytes:
+            counts = ctx.hist.counts if ctx.hist is not None else None
+            return packed_sort(words, payloads, counts, stable=ctx.stable)
         return chunked_sort(words, payloads, stable=ctx.stable)
 
     _PLANS[Algorithm.COMPARATIVE] = comparative_plan
@@ -210,8 +224,8 @@ def _register_default_plans():
     _PLANS[Algorithm.MT_LSB] = lsb_plan
     _PLANS[Algorithm.SKA] = ska_plan
     _PLANS[Algorithm.MT_OOP] = msb_plan
-    _PLANS[Algorithm.RECOMBINATING] = comparative_plan
-    _PLANS[Algorithm.SCANNING] = comparative_plan
+    _PLANS[Algorithm.RECOMBINATING] = ska_plan
+    _PLANS[Algorithm.SCANNING] = ska_plan
     _PLANS[Algorithm.REGIONS] = regions_plan
 
 

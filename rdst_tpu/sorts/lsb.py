@@ -54,7 +54,13 @@ def compaction_plan(counts: np.ndarray) -> tuple[list[int], list[int | None]]:
 
 
 def _pack_levels(words: Sequence[jax.Array], varying: list[int]):
-    """Pack the varying byte levels (MSB-first) into tight uint32 words."""
+    """Pack the varying byte levels (MSB-first) into tight words.
+
+    The most significant packed word narrows to uint16 when it holds <= 2
+    bytes: a sorting-network operand's cost is proportional to its WIDTH
+    (measured: a u16 rider costs ~half a u32 rider, scripts/probe12.py P4),
+    so a 6-byte key rides as (u16, u32) instead of (u32, u32).
+    """
     vb = len(varying)
     n_packed = max(1, -(-vb // 4))
     packed = [None] * n_packed
@@ -66,9 +72,13 @@ def _pack_levels(words: Sequence[jax.Array], varying: list[int]):
         contrib = byte << shift
         packed[widx] = contrib if packed[widx] is None else packed[widx] | contrib
     n = words[0].shape[0]
-    return [
+    out = [
         p if p is not None else jnp.zeros((n,), jnp.uint32) for p in packed
     ]
+    msw_bytes = vb - 4 * (n_packed - 1)
+    if 0 < msw_bytes <= 2:
+        out[0] = out[0].astype(jnp.uint16)
+    return out
 
 
 def _unpack_levels(
@@ -88,7 +98,7 @@ def _unpack_levels(
         if const_byte[lvl] is not None:
             byte = jnp.full((n,), np.uint32(const_byte[lvl]), jnp.uint32)
         else:
-            byte = digit_plane(packed, vpos[lvl], 8)
+            byte = digit_plane(packed, vpos[lvl], 8).astype(jnp.uint32)
         words[widx] = words[widx] | (byte << shift)
     return words
 
@@ -109,8 +119,14 @@ def packed_sort(
     if not varying:
         # every level constant: all keys equal — identity (stable)
         return words, list(payloads)
-    if len(varying) == n_bytes and -(-n_bytes // 4) == len(words):
-        # nothing to compact
+    n_packed = -(-len(varying) // 4)
+    msw_bytes = len(varying) - 4 * (n_packed - 1)
+    if (
+        len(varying) == n_bytes
+        and n_packed == len(words)
+        and msw_bytes > 2
+    ):
+        # nothing to compact and no width to shave
         return comparative_sort(words, payloads, stable=stable)
     packed = _pack_levels(words, varying)
     out = jax.lax.sort(

@@ -40,8 +40,10 @@ class Algorithm(enum.Enum):
       LSB, MT_LSB    - level-compacted packed stable sort (sorts/lsb.py)
       LR_LSB, SKA    - same compaction; SKA may run unstable
       RECOMBINATING,
-      SCANNING       - map to the comparative plan (the measured-fastest
-                       dense large-input plan on TPU)
+      SCANNING       - level-compaction pre-pass into the comparative
+                       network (the measured-fastest dense large-input
+                       plan on TPU; compaction narrows or drops words
+                       when the histogram allows)
       MT_OOP         - bucketed MSB partition + batched per-bucket row
                        sorts + ragged writeback (sorts/msb.py)
       REGIONS        - low-memory chunked sort + bitonic merge tree

@@ -185,6 +185,8 @@ def p2_runs(d_list=(8, 32, 128, 256)):
 
 # --------------------------------------------------- P3: stable block binning
 def _bin_kernel(x_ref, o_ref, *, blocks, shift):
+    # operates on int32 planes (Mosaic lacks unsigned reductions/bitcasts);
+    # logical shifts keep digit extraction exact for any bit pattern
     bins_col = jax.lax.broadcasted_iota(jnp.int32, (256, 256), 0)  # bin id
     lower = (
         jax.lax.broadcasted_iota(jnp.int32, (256, 256), 0)
@@ -192,7 +194,7 @@ def _bin_kernel(x_ref, o_ref, *, blocks, shift):
     ).astype(jnp.float32)  # strictly-lower-triangular ones
     for b in range(blocks):
         x = x_ref[b, :].reshape(1, 256)
-        d = jnp.right_shift(x, np.uint32(shift)).astype(jnp.int32) & 0xFF
+        d = jax.lax.shift_right_logical(x, jnp.int32(shift)) & 0xFF
         oh = (bins_col == d).astype(jnp.float32)  # (256 bins, 256 elems)
         hist = jnp.sum(oh, axis=1, keepdims=True)  # (256,1)
         prefix = jnp.dot(lower, hist,
@@ -204,10 +206,8 @@ def _bin_kernel(x_ref, o_ref, *, blocks, shift):
                        preferred_element_type=jnp.float32)  # prefix[d_i]
         pos = (base + rank).astype(jnp.int32).reshape(1, 256)  # (1,256 elems)
         posoh = bins_col == pos  # (256 out, 256 elems)
-        # Mosaic can't reduce unsigned ints — accumulate as int32 (same bits)
-        xi = pltpu.bitcast(x, jnp.int32)
-        out = jnp.sum(jnp.where(posoh, xi, jnp.int32(0)), axis=1)
-        o_ref[b, :] = pltpu.bitcast(out.reshape(256), jnp.uint32)
+        out = jnp.sum(jnp.where(posoh, x, jnp.int32(0)), axis=1)
+        o_ref[b, :] = out.reshape(256)
 
 
 def p3_bin256():
@@ -216,15 +216,17 @@ def p3_bin256():
     step_elems = BLOCKS * 256
 
     def run(x):
-        return pl.pallas_call(
+        xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+        out = pl.pallas_call(
             functools.partial(_bin_kernel, blocks=BLOCKS, shift=0),
             grid=(n // step_elems,),
             in_specs=[pl.BlockSpec((BLOCKS, 256), lambda t: (t, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((BLOCKS, 256), lambda t: (t, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n // 256, 256), jnp.uint32),
-        )(x.reshape(n // 256, 256)).reshape(n)
+            out_shape=jax.ShapeDtypeStruct((n // 256, 256), jnp.int32),
+        )(xi.reshape(n // 256, 256)).reshape(n)
+        return jax.lax.bitcast_convert_type(out, jnp.uint32)
 
     rng = np.random.default_rng(0)
     small = jnp.asarray(rng.integers(0, 2**32, size=(4096,)).astype(np.uint32))

@@ -189,3 +189,23 @@ def test_bucketed_dominant_multikey_carve(rng):
     rng.shuffle(x)
     got = run_single_algorithm(rt.Algorithm.MT_OOP, x)
     np.testing.assert_array_equal(got, np.sort(x))
+
+
+def test_regions_low_mem_engages_chunked(rng, monkeypatch):
+    """Under real memory pressure REGIONS takes the chunked low-memory
+    machinery (the resource contract); below it, the compaction plan
+    (probe12 P5: the merge tree costs ~3.5x a direct sort)."""
+    from rdst_tpu import config
+
+    k = rng.integers(0, 2**32, size=40_000, dtype=np.int64).astype(np.uint32)
+    v = np.arange(40_000, dtype=np.uint32)
+    monkeypatch.setattr(config, "low_mem_threshold_bytes", 1)  # force chunked
+    ks, (vs,) = (
+        rt.radix_sort_builder(k, [v])
+        .with_algorithm(rt.Algorithm.REGIONS)
+        .with_stable(True)
+        .sort()
+    )
+    order = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(ks, k[order])
+    np.testing.assert_array_equal(vs, v[order])
