@@ -12,6 +12,8 @@ time, from host-side histogram counts if the caller has them.
                  (sorts/lsb.py), else the comparative network
   comparative  - XLA variadic sorting network (sorts/comparative.py)
   packed       - force level compaction (requires ``counts``)
+  bucketed     - MSB partition + batched per-bucket sorts (requires
+                 ``counts``; sorts/msb.py)
   lowmem       - chunked low-memory sort (sorts/regions.py)
 
 The tuner-driven equivalent for callers that want the full reference
@@ -62,6 +64,12 @@ def sort_words(
         if counts is None:
             raise ValueError("plan='packed' requires counts")
         return packed_sort(words, payloads, counts, stable=stable)
+    if plan == "bucketed":
+        from rdst_tpu.sorts.msb import bucketed_sort
+
+        if counts is None:
+            raise ValueError("plan='bucketed' requires counts")
+        return bucketed_sort(words, payloads, counts, stable=stable)
     if plan == "lowmem":
         from rdst_tpu.sorts.regions import chunked_sort
 

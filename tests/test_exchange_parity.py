@@ -99,13 +99,20 @@ def test_ragged_vs_dense_exchange_parity(mesh, rng, patched_ragged,
     elif dist == "lowentropy":
         words = [w % np.uint32(13) for w in words]
 
-    kw = dict(mesh=mesh, capacity_factor=3.0, stable=True,
+    # hotkey + split_uniform=False keeps the hot bucket device-atomic
+    # (n/2 rows on one device): capacity must absorb it — buffer content
+    # in the OVERFLOW regime is unspecified (the API layer raises), so
+    # parity is only defined within capacity.
+    cf = 6.0 if (dist == "hotkey" and not split_uniform) else 3.0
+    kw = dict(mesh=mesh, capacity_factor=cf, stable=True,
               split_uniform=split_uniform)
     w_r, p_r, c_r = distributed_sort(words, pay, use_ragged=True, **kw)
     w_d, p_d, c_d = distributed_sort(words, pay, use_ragged=False, **kw)
     np.testing.assert_array_equal(np.asarray(c_r), np.asarray(c_d))
     cnts = np.asarray(c_r)
     D = cnts.shape[0]
+    cap = np.asarray(w_r[0]).shape[0] // D
+    assert (cnts <= cap).all(), f"test config overflows: {cnts.max()} > {cap}"
     for a, b in zip(w_r + p_r, w_d + p_d):
         a2 = np.asarray(a).reshape(D, -1)
         b2 = np.asarray(b).reshape(D, -1)
