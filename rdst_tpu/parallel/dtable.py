@@ -453,21 +453,65 @@ def distributed_group_aggregate(
     return Table(cols), jnp.int32(n_groups)
 
 
-def _densify(table: Table, counts) -> list[Table]:
-    """Per-device dense Table slices from capacity-padded columns."""
-    cnts = np.asarray(counts)
-    D = cnts.shape[0]
-    cols = {}
-    for name in table.column_names:
-        col = np.asarray(table.column(name)).reshape(D, -1)
-        if (cnts > col.shape[1]).any():
-            raise OverflowError(
-                "shuffle capacity exceeded; raise capacity_factor"
-            )
-        cols[name] = col
-    return [
-        Table({k: v[d, : cnts[d]] for k, v in cols.items()}) for d in range(D)
+def _join_body(axis, nkw, n_lpay, n_rpay, out_cap, how, *arrs):
+    """shard_map body: per-device sort-merge join of co-partitioned sides.
+
+    ``arrs`` = left key words (nkw) + left payload words (n_lpay) +
+    left count (1,) + right key words (nkw) + right payload words
+    (n_rpay) + right count (1,). Both sides arrive from the exchange with
+    their valid prefix sorted by key. Probe = bounded lexicographic
+    binary search (tops._lex_searchsorted with the valid-prefix bound);
+    inner joins expand duplicate right matches into a static
+    ``out_cap``-row buffer (overflow detectable from the returned count —
+    same contract as the shuffle's capacity).
+    """
+    arrs = list(arrs)
+    lw = arrs[:nkw]
+    lpay = arrs[nkw : nkw + n_lpay]
+    lcnt = arrs[nkw + n_lpay][0].astype(jnp.int32)
+    roff = nkw + n_lpay + 1
+    rw = arrs[roff : roff + nkw]
+    rpay = arrs[roff + nkw : roff + nkw + n_rpay]
+    rcnt = arrs[roff + nkw + n_rpay][0].astype(jnp.int32)
+    lcap = lw[0].shape[0]
+    rcap = rw[0].shape[0]
+
+    lo = tops._lex_searchsorted(rw, lw, side="left", bound=rcnt)
+    hi = tops._lex_searchsorted(rw, lw, side="right", bound=rcnt)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (lcap, 1), 0).squeeze(-1)
+    lvalid = pos < lcnt
+    matched = lvalid & (hi > lo)
+
+    if how == "left":
+        ri = jnp.clip(lo, 0, max(rcap - 1, 0))
+        outs = list(lw) + list(lpay) + [
+            jnp.where(matched, jnp.take(p, ri, mode="clip"), p.dtype.type(0))
+            for p in rpay
+        ] + [matched.astype(jnp.uint32)]
+        n_matched = jnp.sum(matched.astype(jnp.int32))
+        return tuple(outs) + (lcnt[None], n_matched[None])
+
+    mult = jnp.where(matched, hi - lo, 0)
+    offs = jnp.cumsum(mult)
+    total = offs[lcap - 1]
+    j = jax.lax.broadcasted_iota(jnp.int32, (out_cap, 1), 0).squeeze(-1)
+    li = jnp.searchsorted(offs, j, side="right").astype(jnp.int32)
+    li = jnp.clip(li, 0, lcap - 1)
+    k = j - jnp.take(offs - mult, li)
+    ri = jnp.clip(jnp.take(lo, li) + k, 0, max(rcap - 1, 0))
+    ovalid = j < total
+    outs = [
+        jnp.where(ovalid, jnp.take(p, li, mode="clip"),
+                  p.dtype.type(0xFFFFFFFF))
+        for p in list(lw)
+    ] + [
+        jnp.where(ovalid, jnp.take(p, li, mode="clip"), p.dtype.type(0))
+        for p in list(lpay)
+    ] + [
+        jnp.where(ovalid, jnp.take(p, ri, mode="clip"), p.dtype.type(0))
+        for p in rpay
     ]
+    return tuple(outs) + (total[None], total[None])
 
 
 def distributed_join(
@@ -481,24 +525,24 @@ def distributed_join(
     suffix: str = "_r",
     capacity_factor: float = 2.0,
     right_capacity_factor: float | None = None,
+    join_capacity_factor: float = 1.0,
 ):
-    """Distributed sort-merge equi-join (duplicate right keys expand for
-    ``how="inner"``; ``how="left"`` takes the first match — see
-    :func:`rdst_tpu.table.ops.join`).
+    """Distributed sort-merge equi-join, finished entirely inside the mesh
+    (duplicate right keys expand for ``how="inner"``; ``how="left"`` takes
+    the first match — :func:`rdst_tpu.table.ops.join` semantics).
 
     Both sides are co-partitioned by the SAME range partition (SURVEY.md
     §7 step 7: "partition both sides by the same MSB shuffle"): the left
     table's shuffle derives an entropy-adaptive partition with
     device-atomic buckets (``split_uniform=False`` — equal keys must not
-    straddle devices), the right table is routed through
-    ``partition_exchange`` with that partition, and per-device local
-    joins concatenate to the exact global join. v1 densifies per-device
-    slices on the host for the local joins, like
-    :func:`distributed_group_aggregate` — the expensive phases (two sorts
-    + two exchanges) are fully distributed.
+    straddle devices), the right table routes through
+    ``partition_exchange`` with that partition, and every device joins its
+    resident slices in one ``shard_map`` (:func:`_join_body`). numpy
+    appears only at the API boundary to densify/decode.
 
-    Returns ``(Table, match_count)`` with :func:`rdst_tpu.table.ops.join`
-    semantics.
+    ``join_capacity_factor`` sizes each device's inner-join output buffer
+    as a multiple of its left capacity; 1.0 covers any unique-right-key
+    (pk-fk) join, duplicates may need more (OverflowError signals it).
     """
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
@@ -512,9 +556,6 @@ def distributed_join(
         capacity_factor=capacity_factor, stable=True,
         split_uniform=False, return_partition=True,
     )
-    left_cols = _decode_table(by, nk, other, enc, words, payloads)
-    left_sh = Table({c: left_cols[c] for c in left.column_names})
-    left_parts = _densify(left_sh, counts)
 
     rby, rnk, rother, renc, rpayload_words = _encode_table(right, on_list)
     if rnk.n_words != nk.n_words:
@@ -525,56 +566,72 @@ def distributed_join(
         list(rnk.words), rpayload_words, part, mesh=mesh, axis=axis,
         capacity_factor=right_capacity_factor, stable=True,
     )
-    right_cols = _decode_table(rby, rnk, rother, renc, rwords, rpayloads)
-    right_sh = Table({c: right_cols[c] for c in right.column_names})
-    right_parts = _densify(right_sh, rcounts)
 
-    pieces: list[Table] = []
-    total = 0
-    for lt, rt in zip(left_parts, right_parts):
-        if lt.n_rows == 0:
-            continue
-        if rt.n_rows == 0:
-            if how == "inner":
-                continue
-            # left join against an empty right shard: fill right columns
-            cols = {c: np.asarray(lt.column(c)) for c in lt.column_names}
-            for name in right.column_names:
-                if name in on_list:
-                    continue
-                out_name = name + (
-                    suffix if name in left.column_names else ""
-                )
-                cols[out_name] = np.zeros(
-                    lt.n_rows, dtype=np.asarray(right.column(name)).dtype
-                )
-            cols["_matched"] = np.zeros(lt.n_rows, dtype=bool)
-            pieces.append(Table(cols))
-            continue
-        jt, cnt = tops.join(lt, rt, on_list, how=how, suffix=suffix)
-        total += int(cnt)
-        if how == "inner":
-            # tops.join keeps static length (matched rows packed first);
-            # truncate so the concatenation is densely packed
-            jt = Table(
-                {
-                    c: np.asarray(jt.column(c))[: int(cnt)]
-                    for c in jt.column_names
-                }
-            )
-        pieces.append(jt)
-    if not pieces:
-        # empty result with the joined schema
-        jt, _ = tops.join(left, right, on_list, how=how, suffix=suffix)
-        schema = jt.column_names
-        return Table(
-            {c: np.asarray(jt.column(c))[:0] for c in schema}
-        ), 0
-    names = pieces[0].column_names
-    out = Table(
-        {
-            c: np.concatenate([np.asarray(p.column(c)) for p in pieces])
-            for c in names
-        }
+    D = mesh.devices.size
+    lcap = words[0].shape[0] // D
+    rcap = rwords[0].shape[0] // D
+    if (np.asarray(counts) > lcap).any() or (np.asarray(rcounts) > rcap).any():
+        raise OverflowError("shuffle capacity exceeded; raise capacity_factor")
+    out_cap = max(int(np.ceil(join_capacity_factor * lcap)), 16)
+    nkw, n_lpay, n_rpay = nk.n_words, len(payloads), len(rpayloads)
+    body = functools.partial(
+        _join_body, axis, nkw, n_lpay, n_rpay, out_cap, how
     )
-    return out, total
+    n_in = nkw + n_lpay + 1 + nkw + n_rpay + 1
+    n_out = nkw + n_lpay + n_rpay + (1 if how == "left" else 0) + 2
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(P(axis) for _ in range(n_in)),
+        out_specs=tuple(P(axis) for _ in range(n_out)),
+    )
+    sharding = NamedSharding(mesh, P(axis))
+    args = (
+        list(words) + list(payloads)
+        + [jax.device_put(jnp.asarray(counts).astype(jnp.int32), sharding)]
+        + list(rwords) + list(rpayloads)
+        + [jax.device_put(jnp.asarray(rcounts).astype(jnp.int32), sharding)]
+    )
+    out = fn(*args)
+    out = list(out)
+    jcounts = np.asarray(out[-2])  # rows per device in the output buffer
+    matches = int(np.asarray(out[-1]).sum())
+    planes = out[:-2]
+    if how == "inner" and (jcounts > out_cap).any():
+        raise OverflowError(
+            f"join output overflow: a device produced {int(jcounts.max())} "
+            f"rows > capacity {out_cap}; raise join_capacity_factor"
+        )
+
+    def dens(plane):
+        p = np.asarray(plane).reshape(D, -1)
+        return np.concatenate([p[d, : jcounts[d]] for d in range(D)])
+
+    out_kw = [jnp.asarray(dens(w)) for w in planes[:nkw]]
+    out_nk = _keys.NormalizedKeys(tuple(out_kw), nk.n_bytes, nk.meta)
+    if _has_64bit_keys(nk) and not _x64_enabled():
+        key_vals = _keys.denormalize_host(out_nk)
+    else:
+        key_vals = _keys.denormalize(out_nk)
+    if len(on_list) == 1:
+        key_vals = (key_vals,)
+    cols = dict(zip(on_list, key_vals))
+    i = nkw
+    for name, (ws, decode) in enc:  # left non-key columns
+        kws = len(ws)
+        cols[name] = decode([jnp.asarray(dens(p))
+                             for p in planes[i : i + kws]])
+        i += kws
+    for name, (ws, decode) in renc:  # right non-key columns
+        kws = len(ws)
+        out_name = name + (suffix if name in left.column_names else "")
+        cols[out_name] = decode([jnp.asarray(dens(p))
+                                 for p in planes[i : i + kws]])
+        i += kws
+    if how == "left":
+        cols["_matched"] = dens(planes[i]).astype(bool)
+    order = [c for c in left.column_names] + [
+        (name + (suffix if name in left.column_names else ""))
+        for name, _ in renc
+    ] + (["_matched"] if how == "left" else [])
+    return Table({c: cols[c] for c in order}), matches

@@ -317,7 +317,7 @@ def join(
     return Table(cols), jnp.int32(total)
 
 
-def _lex_searchsorted(sorted_words, query_words, *, side="left"):
+def _lex_searchsorted(sorted_words, query_words, *, side="left", bound=None):
     """Vectorized lexicographic binary search over multi-word u32 keys.
 
     ``sorted_words``: word planes of the (lexicographically) sorted haystack
@@ -328,6 +328,10 @@ def _lex_searchsorted(sorted_words, query_words, *, side="left"):
     to 16 levels into one integer, comparative_sort.rs:29-51; multi-word
     keys here compare word-by-word with a prefix-equality chain).
 
+    ``bound``: optional traced scalar limiting the search to the first
+    ``bound`` haystack rows (capacity-padded buffers whose valid prefix
+    length is data-dependent — the distributed join's case).
+
     Branchless power-of-two descent: log2(m) rounds, each a clipped gather
     of the candidate key + a lexicographic compare.
     """
@@ -336,6 +340,7 @@ def _lex_searchsorted(sorted_words, query_words, *, side="left"):
     pos = jnp.zeros((nq,), jnp.int32)
     if m == 0:
         return pos
+    limit = jnp.int32(m) if bound is None else bound.astype(jnp.int32)
     want_leq = side == "right"
 
     def lex_le_lt(cand):
@@ -352,7 +357,7 @@ def _lex_searchsorted(sorted_words, query_words, *, side="left"):
     step = 1 << (m.bit_length() - 1)
     while step >= 1:
         cand = pos + step
-        take = (cand <= m) & lex_le_lt(cand)
+        take = (cand <= limit) & lex_le_lt(cand)
         pos = jnp.where(take, cand, pos)
         step //= 2
     return pos

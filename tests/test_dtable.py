@@ -298,3 +298,45 @@ def test_distributed_aggregate_all_equal_keys(mesh, rng):
         np.asarray(t["q"]).astype(np.int64).sum()
     )
     assert int(np.asarray(out["c"])[0]) == n
+
+
+def test_distributed_join_duplicate_right_keys(mesh, rng):
+    """Duplicate right keys expand in-mesh (join_capacity_factor sizes the
+    per-device output buffer)."""
+    n, m = 1 << 12, 1 << 9
+    lk = rng.integers(0, 64, n).astype(np.uint32)
+    rk = rng.integers(0, 64, m).astype(np.uint32)  # heavy duplicates
+    left = Table({"key": lk, "lid": np.arange(n, dtype=np.uint32)})
+    right = Table({"key": rk, "rid": np.arange(m, dtype=np.uint32)})
+    out, cnt = distributed_join(
+        left, right, "key", mesh=mesh,
+        capacity_factor=6.0, right_capacity_factor=10.0,
+        join_capacity_factor=40.0,
+    )
+    import collections
+    lut = collections.defaultdict(list)
+    for j, k in enumerate(rk):
+        lut[int(k)].append(j)
+    want = {(int(k), i, j) for i, k in enumerate(lk) for j in lut[int(k)]}
+    got = {
+        (int(k), int(i), int(j))
+        for k, i, j in zip(np.asarray(out["key"]), np.asarray(out["lid"]),
+                           np.asarray(out["rid"]))
+    }
+    assert int(cnt) == len(want) == out.n_rows
+    assert got == want
+
+
+def test_distributed_join_output_overflow_detected(mesh, rng):
+    n, m = 1 << 12, 1 << 9
+    lk = rng.integers(0, 8, n).astype(np.uint32)
+    rk = rng.integers(0, 8, m).astype(np.uint32)  # ~64 matches per left row
+    left = Table({"key": lk, "lid": np.arange(n, dtype=np.uint32)})
+    right = Table({"key": rk, "rid": np.arange(m, dtype=np.uint32)})
+    import pytest as _pytest
+    with _pytest.raises(OverflowError, match="join_capacity_factor"):
+        distributed_join(
+            left, right, "key", mesh=mesh,
+            capacity_factor=8.0, right_capacity_factor=10.0,
+            join_capacity_factor=1.0,
+        )
