@@ -135,10 +135,13 @@ def bucketed_sort(
         combined = (top_b << np.uint32(8)) | _level_byte(words, L, L - 2)
     else:
         combined = top_b
+    # stability of the partition is only needed for stable-mode output;
+    # unstable mode may reorder within a bucket freely (any partition
+    # order composes with the stable row stage into a valid unstable sort)
     part = jax.lax.sort(
         (combined,) + tuple(words) + tuple(payloads),
         num_keys=1,
-        is_stable=True,
+        is_stable=stable,
     )
     part_planes = list(part[1:])
     n_words = len(words)
