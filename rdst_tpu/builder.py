@@ -114,7 +114,9 @@ class RadixSortBuilder:
             return data
 
         nk = _keys.normalize(data)
-        payload_info = [_encode_payload(p) for p in self._payloads]
+        payload_info = [
+            _encode_payload(p, allow_narrow=True) for p in self._payloads
+        ]
         payload_words = [w for info in payload_info for w in info[0]]
 
         sorter = Sorter(parallel=self._parallel, tuner=self._tuner)
@@ -166,11 +168,17 @@ def _to_numpy(x):
     return np.asarray(x)
 
 
-def _encode_payload(p):
+def _encode_payload(p, *, allow_narrow: bool = False):
     """Encode a payload array as uint32 word planes + decoder.
 
     Payloads ride through radix scatters as opaque words (the reference
     moves whole structs; SortValue is Copy, sort_value.rs:5-13).
+
+    ``allow_narrow=True`` keeps <=16-bit payloads as uint16 operands — a
+    sorting-network rider's cost is proportional to its width (probe12
+    P4: a u16 rider costs ~half a u32 rider). Only the single-chip sort
+    path opts in; the distributed exchange assumes uint32 planes (its pad
+    word is 0xFFFFFFFF).
     """
     dt = np.dtype(p.dtype) if not isinstance(p, (list, tuple)) else None
     if dt is None:
@@ -207,9 +215,10 @@ def _encode_payload(p):
         return (hi, lo), decode64
     if dt.itemsize <= 4:
         up = f"uint{dt.itemsize * 8}"
+        ride = "uint16" if (allow_narrow and dt.itemsize <= 2) else "uint32"
         w = jax.lax.bitcast_convert_type(
             jnp.asarray(p), np.dtype(up)
-        ).astype(jnp.uint32)
+        ).astype(np.dtype(ride))
 
         def decode32(ws, dt=dt, up=up):
             w = ws[0].astype(up)

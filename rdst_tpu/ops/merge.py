@@ -98,7 +98,13 @@ def merge_many(
                 pad = mx - r[0].shape[0]
                 nxt[j] = [
                     jnp.concatenate(
-                        [p, jnp.full((pad,), np.uint32(0xFFFFFFFF), p.dtype)]
+                        [p, jnp.full(
+                            (pad,),
+                            np.iinfo(p.dtype).max
+                            if jnp.issubdtype(p.dtype, jnp.integer)
+                            else np.uint32(0xFFFFFFFF),
+                            p.dtype,
+                        )]
                     )
                     for p in r
                 ]

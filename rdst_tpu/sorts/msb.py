@@ -232,7 +232,7 @@ def bucketed_sort(
         return jnp.where(valid, rows, fill)
 
     bucket_rows = [
-        extract(p, np.uint32(0xFFFFFFFF) if i < n_words else np.uint32(0))
+        extract(p, np.uint32(0xFFFFFFFF) if i < n_words else p.dtype.type(0))
         for i, p in enumerate(part_planes)
     ]
     srt = jax.lax.sort(

@@ -59,7 +59,7 @@ def chunked_sort(
         ) if total > n else p
 
     planes = [
-        padp(p, np.uint32(0xFFFFFFFF) if i < n_words else np.uint32(0))
+        padp(p, np.uint32(0xFFFFFFFF) if i < n_words else p.dtype.type(0))
         for i, p in enumerate(planes)
     ]
 

@@ -99,11 +99,12 @@ def test_ragged_vs_dense_exchange_parity(mesh, rng, patched_ragged,
     elif dist == "lowentropy":
         words = [w % np.uint32(13) for w in words]
 
-    # hotkey + split_uniform=False keeps the hot bucket device-atomic
-    # (n/2 rows on one device): capacity must absorb it — buffer content
-    # in the OVERFLOW regime is unspecified (the API layer raises), so
-    # parity is only defined within capacity.
-    cf = 6.0 if (dist == "hotkey" and not split_uniform) else 3.0
+    # the hot bucket can be device-atomic (split_uniform=False, or when
+    # stray keys share its adaptive window bucket), putting n/2 rows on
+    # one device: capacity must absorb it — buffer content in the
+    # OVERFLOW regime is unspecified (the API layer raises), so parity
+    # is only defined within capacity.
+    cf = 6.0 if dist == "hotkey" else 3.0
     kw = dict(mesh=mesh, capacity_factor=cf, stable=True,
               split_uniform=split_uniform)
     w_r, p_r, c_r = distributed_sort(words, pay, use_ragged=True, **kw)

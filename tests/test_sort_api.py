@@ -151,3 +151,47 @@ def test_jax_input_returns_jax(rng):
     got = rt.radix_sort_unstable(x)
     assert not isinstance(got, np.ndarray)
     np.testing.assert_array_equal(np.asarray(got), np.sort(np.asarray(x)))
+
+
+def test_narrow_payloads_ride_u16(rng):
+    """<=16-bit payloads ride as uint16 operands (probe12 P4: rider cost
+    is proportional to width) through every plan family."""
+    import rdst_tpu as rt
+    from rdst_tpu import config
+
+    n = 30_000
+    k = rng.integers(0, 2**32, size=n, dtype=np.int64).astype(np.uint32)
+    v16 = rng.integers(0, 2**16, size=n).astype(np.uint16)
+    v8 = rng.integers(0, 250, size=n).astype(np.uint8)
+    order = np.argsort(k, kind="stable")
+    for algo in (rt.Algorithm.LSB, rt.Algorithm.MT_OOP,
+                 rt.Algorithm.COMPARATIVE):
+        ks, (a, b) = (
+            rt.radix_sort_builder(k, [v16, v8])
+            .with_algorithm(algo)
+            .with_stable(True)
+            .sort()
+        )
+        np.testing.assert_array_equal(ks, k[order], err_msg=str(algo))
+        np.testing.assert_array_equal(a, v16[order], err_msg=str(algo))
+        np.testing.assert_array_equal(b, v8[order], err_msg=str(algo))
+        assert a.dtype == np.uint16 and b.dtype == np.uint8
+
+
+def test_narrow_payloads_chunked_regions(rng, monkeypatch):
+    from rdst_tpu import config
+    import rdst_tpu as rt
+
+    monkeypatch.setattr(config, "low_mem_threshold_bytes", 1)
+    n = 20_000
+    k = rng.integers(0, 2**32, size=n, dtype=np.int64).astype(np.uint32)
+    v = rng.integers(0, 2**16, size=n).astype(np.uint16)
+    ks, (vs,) = (
+        rt.radix_sort_builder(k, [v])
+        .with_algorithm(rt.Algorithm.REGIONS)
+        .with_stable(True)
+        .sort()
+    )
+    order = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(ks, k[order])
+    np.testing.assert_array_equal(vs, v[order])
