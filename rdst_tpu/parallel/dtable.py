@@ -297,6 +297,20 @@ def _agg_body(axis, n_keys, plan, *arrs):
     return outs + (out_count[None],)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis", "n_keys", "plan", "n_out")
+)
+def _agg_jit(arrs, mesh, axis, n_keys, plan, n_out):
+    body = functools.partial(_agg_body, axis, n_keys, plan)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(P(axis) for _ in range(len(arrs))),
+        out_specs=tuple(P(axis) for _ in range(n_out)),
+    )
+    return fn(*arrs)
+
+
 class _AggPlan:
     """Static per-call aggregation plan (hashable for jit)."""
 
@@ -408,22 +422,16 @@ def distributed_group_aggregate(
         tuple(map(tuple, sentinels)),
     )
 
-    # 3. in-mesh segment reduction + boundary combine
-    body = functools.partial(_agg_body, axis, nk.n_words, plan)
-    n_in = nk.n_words + len(val_arrays) + len(norm_planes) + 1
-    n_out = nk.n_words + len(val_specs) + 1
-    fn = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=tuple(P(axis) for _ in range(n_in)),
-        out_specs=tuple(P(axis) for _ in range(n_out)),
-    )
+    # 3. in-mesh segment reduction + boundary combine (jitted; the plan
+    # tuple is the static cache key so repeated calls with equal shapes
+    # reuse the compiled program)
     sharding = NamedSharding(mesh, P(axis))
-    args = [jax.device_put(a, sharding)
-            for a in list(words) + val_arrays + norm_planes] + [
-        jax.device_put(jnp.asarray(counts).astype(jnp.int32), sharding)
-    ]
-    out = fn(*args)
+    args = tuple(
+        jax.device_put(a, sharding)
+        for a in list(words) + val_arrays + norm_planes
+    ) + (jax.device_put(jnp.asarray(counts).astype(jnp.int32), sharding),)
+    out = _agg_jit(args, mesh, axis, nk.n_words, plan,
+                   nk.n_words + len(val_specs) + 1)
     out_kw = out[: nk.n_words]
     out_aggs = out[nk.n_words : nk.n_words + len(val_specs)]
     gcounts = np.asarray(out[-1])
@@ -514,6 +522,25 @@ def _join_body(axis, nkw, n_lpay, n_rpay, out_cap, how, *arrs):
     return tuple(outs) + (total[None], total[None])
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "axis", "nkw", "n_lpay", "n_rpay", "out_cap", "how", "n_out"
+    ),
+)
+def _join_jit(arrs, mesh, axis, nkw, n_lpay, n_rpay, out_cap, how, n_out):
+    body = functools.partial(
+        _join_body, axis, nkw, n_lpay, n_rpay, out_cap, how
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(P(axis) for _ in range(len(arrs))),
+        out_specs=tuple(P(axis) for _ in range(n_out)),
+    )
+    return fn(*arrs)
+
+
 def distributed_join(
     left: Table,
     right: Table,
@@ -574,25 +601,16 @@ def distributed_join(
         raise OverflowError("shuffle capacity exceeded; raise capacity_factor")
     out_cap = max(int(np.ceil(join_capacity_factor * lcap)), 16)
     nkw, n_lpay, n_rpay = nk.n_words, len(payloads), len(rpayloads)
-    body = functools.partial(
-        _join_body, axis, nkw, n_lpay, n_rpay, out_cap, how
-    )
-    n_in = nkw + n_lpay + 1 + nkw + n_rpay + 1
-    n_out = nkw + n_lpay + n_rpay + (1 if how == "left" else 0) + 2
-    fn = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=tuple(P(axis) for _ in range(n_in)),
-        out_specs=tuple(P(axis) for _ in range(n_out)),
-    )
     sharding = NamedSharding(mesh, P(axis))
-    args = (
+    args = tuple(
         list(words) + list(payloads)
         + [jax.device_put(jnp.asarray(counts).astype(jnp.int32), sharding)]
         + list(rwords) + list(rpayloads)
         + [jax.device_put(jnp.asarray(rcounts).astype(jnp.int32), sharding)]
     )
-    out = fn(*args)
+    n_out = nkw + n_lpay + n_rpay + (1 if how == "left" else 0) + 2
+    out = _join_jit(args, mesh, axis, nkw, n_lpay, n_rpay, out_cap, how,
+                    n_out)
     out = list(out)
     jcounts = np.asarray(out[-2])  # rows per device in the output buffer
     matches = int(np.asarray(out[-1]).sum())
