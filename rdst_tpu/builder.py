@@ -99,6 +99,84 @@ class RadixSortBuilder:
 
     # -- execution --
 
+    def _try_host_sort(self, n: int):
+        """Host-native fast path for small numpy inputs.
+
+        Small host-resident sorts otherwise pay a device dispatch round
+        trip; the C++ runtime (native/rdst_host.cpp — the reference's
+        mt_lsb private-range scatter in std::thread form) sorts them
+        directly, with the same normalization semantics. Only the
+        built-in tuners route here (forcing an Algorithm or a custom
+        tuner is a request for the device plans). Returns the result or
+        None to continue on the device path.
+        """
+        from rdst_tpu import config
+        from rdst_tpu.native import host as _host
+
+        if n > config.host_sort_max or config.host_sort_max <= 0:
+            return None
+        if type(self._tuner) not in (
+            StandardTuner, LowMemoryTuner, SingleThreadedTuner
+        ):
+            return None
+        data = self._data
+        if not isinstance(data, np.ndarray) or data.ndim != 1:
+            return None
+        dt = np.dtype(data.dtype)
+        if dt.kind not in "uif" or dt.itemsize > 8:
+            return None
+        if not all(
+            isinstance(p, np.ndarray) and p.ndim == 1
+            and np.dtype(p.dtype).itemsize <= 4
+            for p in self._payloads
+        ):
+            return None
+
+        # normalize to an ascending-unsigned u32/u64 key (host numpy)
+        if dt.kind == "u":
+            u = data.astype(np.uint64 if dt.itemsize == 8 else np.uint32)
+        elif dt.kind == "i":
+            b = data.view(f"uint{dt.itemsize * 8}")
+            u = (b ^ np.array(1 << (dt.itemsize * 8 - 1), b.dtype)).astype(
+                np.uint64 if dt.itemsize == 8 else np.uint32
+            )
+        else:  # floats: IEEE total-order fold (radix_key_impl.rs:162-185)
+            bits = dt.itemsize * 8
+            u = _keys._float_fold(data.view(f"uint{bits}"), bits)
+            if dt.itemsize < 4:
+                u = u.astype(np.uint32)
+
+        u = u.copy()  # host sort is in place; never mutate user arrays
+        if len(self._payloads) == 1 and (
+            np.dtype(self._payloads[0].dtype).itemsize == 4
+        ):
+            pw = self._payloads[0].view(np.uint32).copy()
+            _host.host_radix_sort(u, pw)
+            out_payloads = (pw.view(self._payloads[0].dtype),)
+        elif self._payloads:
+            order = np.arange(n, dtype=np.uint32)
+            _host.host_radix_sort(u, order)
+            out_payloads = tuple(p[order] for p in self._payloads)
+        else:
+            _host.host_radix_sort(u)
+            out_payloads = ()
+
+        # invert the normalization
+        if dt.kind == "u":
+            keys_out = u.astype(dt)
+        elif dt.kind == "i":
+            w = u.astype(f"uint{dt.itemsize * 8}")
+            keys_out = (
+                w ^ np.array(1 << (dt.itemsize * 8 - 1), w.dtype)
+            ).view(dt)
+        else:
+            bits = dt.itemsize * 8
+            w = u.astype(f"uint{bits}") if dt.itemsize < 4 else u
+            keys_out = _keys._float_unfold_xp(w, bits, np).view(dt)
+        if self._payloads:
+            return keys_out, out_payloads
+        return keys_out
+
     def sort(self):
         """Run the sort; returns sorted keys (and payloads if provided)."""
         data = self._data
@@ -112,6 +190,10 @@ class RadixSortBuilder:
             if self._payloads:
                 return data, tuple(self._payloads)
             return data
+
+        host = self._try_host_sort(n)
+        if host is not None:
+            return host
 
         nk = _keys.normalize(data)
         payload_info = [

@@ -50,6 +50,14 @@ low_mem_threshold_bytes = int(
     os.environ.get("RDST_TPU_LOW_MEM_THRESHOLD", str(2 << 30))
 )
 
+#: Host-native fast path: numpy inputs up to this many elements sort on
+#: the C++ host runtime (native/rdst_host.cpp) instead of paying the
+#: device dispatch round trip (~3 ms over the tunnel, CLAUDE.md). The
+#: multithreaded host LSD sorts small arrays in well under a millisecond.
+#: 0 disables. Only the default tuners take this path — forcing an
+#: Algorithm or supplying a custom tuner always runs the device plans.
+host_sort_max = int(os.environ.get("RDST_TPU_HOST_SORT_MAX", str(1 << 18)))
+
 
 # work_profiles-equivalent: trace per-level algorithm picks
 # (reference: Cargo.toml:18, src/sorter.rs:78-79).

@@ -10,6 +10,9 @@ Must run before the first ``import jax`` anywhere in the test session.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the image sets JAX_PLATFORMS=axon
+# keep the XLA plan paths covered: only tiny sorts take the host-native
+# fast path in tests (tests/test_host_sort.py covers it explicitly)
+os.environ.setdefault("RDST_TPU_HOST_SORT_MAX", "2048")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
