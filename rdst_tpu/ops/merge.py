@@ -7,7 +7,10 @@ O(m log m) compare-exchange stages — ~20x cheaper than re-sorting the
 concatenation through the full sorting network.
 
 All data movement is static reshapes + elementwise min/max selects, which
-XLA fuses well on TPU.
+XLA fuses well on TPU — but each stage still materializes through HBM
+(probe12 P5), so on a real TPU large merges route through the Pallas
+fused kernels in ops/pallas_merge.py (one HBM round trip per large
+stride, then every stride <= block/2 in one VMEM-resident pass).
 """
 from __future__ import annotations
 
@@ -18,6 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["merge_sorted", "merge_many"]
+
+#: Below this total length the per-stage XLA selects win (kernel launch
+#: overhead dominates) and the Pallas path is skipped.
+_FUSED_MIN = 1 << 15
 
 
 def _lex_greater(keys_x, keys_y):
@@ -58,6 +65,16 @@ def merge_sorted(
 
     # bitonic: concat(a, reverse(b)) then log2(2m) split stages
     z = [jnp.concatenate([pa, pb[::-1]]) for pa, pb in zip(planes_a, planes_b)]
+    from rdst_tpu.ops.pallas_merge import (
+        bitonic_merge_fused,
+        fused_merge_available,
+    )
+
+    if 2 * m >= _FUSED_MIN and fused_merge_available(z):
+        z = bitonic_merge_fused(z, nk)
+        if stable:
+            z = z[:n_keys] + z[n_keys + 1 :]
+        return z
     total = 2 * m
     s = m
     while s >= 1:

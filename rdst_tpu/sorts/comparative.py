@@ -9,8 +9,12 @@ right tool below the sizes where radix passes win, and the correctness
 anchor for every other plan.
 
 Unlike the reference (which only uses this for <=128 items, sorter.rs:35-38)
-this plan is usable at any size: on TPU the sorting network is a serious
-baseline (~350M u32 el/s measured) that the Pallas radix plans must beat.
+this plan is usable at any size — and at large unstable sizes it routes
+through the chunked fused-merge executor (sorts/fused_merge.py): the
+network's cost grows with log^2(n), so capping it at chunk size and
+merging with the Pallas fused bitonic kernels is measured faster than one
+big network call (probe17/probe18).  Stable sorts and small/CPU cases
+stay on the direct lax.sort path.
 """
 from __future__ import annotations
 
@@ -30,6 +34,14 @@ def comparative_sort(
     """Sort word planes (most significant first) + payloads via lax.sort."""
     words = list(words)
     payloads = list(payloads)
+    if not stable:
+        from rdst_tpu.sorts.fused_merge import (
+            fused_merge_sort,
+            fused_sort_available,
+        )
+
+        if fused_sort_available(words, payloads):
+            return fused_merge_sort(words, payloads)
     operands = tuple(words) + tuple(payloads)
     out = jax.lax.sort(operands, num_keys=len(words), is_stable=stable)
     return list(out[: len(words)]), list(out[len(words):])

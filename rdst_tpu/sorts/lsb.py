@@ -129,12 +129,10 @@ def packed_sort(
         # nothing to compact and no width to shave
         return comparative_sort(words, payloads, stable=stable)
     packed = _pack_levels(words, varying)
-    out = jax.lax.sort(
-        tuple(packed) + tuple(payloads),
-        num_keys=len(packed),
-        is_stable=stable,
+    # route through comparative_sort so large unstable packed sorts take
+    # the fused-merge executor (sorts/fused_merge.py) when available
+    out_packed, out_payloads = comparative_sort(
+        packed, payloads, stable=stable
     )
-    out_packed = list(out[: len(packed)])
-    out_payloads = list(out[len(packed):])
     out_words = _unpack_levels(out_packed, varying, const_byte, len(words))
     return out_words, out_payloads
