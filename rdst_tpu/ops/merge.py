@@ -64,7 +64,20 @@ def merge_sorted(
         nk = nk + 1
 
     # bitonic: concat(a, reverse(b)) then log2(2m) split stages
-    z = [jnp.concatenate([pa, pb[::-1]]) for pa, pb in zip(planes_a, planes_b)]
+    # (2D double-rev form: the flat [::-1] costs ~1.9 ns/el at 2^24 on
+    # TPU while this lowers near-bandwidth — probe18c/18d)
+    if m % 128 == 0:
+        from rdst_tpu.ops.pallas_merge import rev_fast
+
+        z = [
+            jnp.concatenate([pa, rev_fast(pb)])
+            for pa, pb in zip(planes_a, planes_b)
+        ]
+    else:
+        z = [
+            jnp.concatenate([pa, pb[::-1]])
+            for pa, pb in zip(planes_a, planes_b)
+        ]
     from rdst_tpu.ops.pallas_merge import (
         bitonic_merge_fused,
         fused_merge_available,

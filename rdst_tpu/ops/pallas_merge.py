@@ -51,6 +51,19 @@ BLOCK = 1 << 17
 CHUNK = 1 << 15
 
 
+def rev_fast(p: jax.Array) -> jax.Array:
+    """Reverse a flat array via a 2D double-axis rev.
+
+    XLA's rev on one giant axis costs ~1.9 ns/el at 2^24 (probe18c R1);
+    reversing both axes of the row-major (rows, 128) view is the same
+    permutation expressed as a row shuffle + an in-row lane reversal,
+    which lowers to near-bandwidth code (probe18d). Requires len % 128
+    == 0; callers fall back to ``p[::-1]`` otherwise.
+    """
+    n = p.shape[0]
+    return jax.lax.rev(p.reshape(n // LANES, LANES), (0, 1)).reshape(n)
+
+
 def _roll(p, k, axis):
     """Circular shift so result[i] = p[i + k] along ``axis`` (k > 0)."""
     dim = p.shape[axis]
@@ -232,10 +245,9 @@ def merge_level(
     for p in planes:
         if np.dtype(p.dtype).itemsize < 4 and jnp.issubdtype(p.dtype, jnp.integer):
             p = p.astype(jnp.uint32)
-        v = p.reshape(-1, 2, m)
-        z.append(
-            jnp.concatenate([v[:, :1], v[:, 1:, ::-1]], axis=1).reshape(n)
-        )
+        v = p.reshape(-1, 2, m // LANES, LANES)
+        r = jax.lax.rev(v[:, 1], (1, 2))
+        z.append(jnp.stack([v[:, 0], r], axis=1).reshape(n))
     s = m
     while s >= max(BLOCK, LANES * 2) and 2 * m > BLOCK:
         z = _pallas_stage(z, n, s, n_keys, interpret)
