@@ -121,7 +121,13 @@ def merge_many(
         if len(runs) % 2:
             nxt.append(runs[-1])
         # equalize lengths for the next level by re-pairing: merge_sorted
-        # outputs 2m, an odd tail stays m — pad it to match when re-paired
+        # outputs 2m, an odd tail stays m — pad it to match when re-paired.
+        # Key planes pad with the all-ones sentinel (sorts to the tail;
+        # the padded run is always the LAST run, i.e. the b-side of its
+        # pair, so stable-mode ties with real all-ones keys resolve
+        # real-first); payload planes pad with zeros so no sentinel
+        # "values" ever sit in payload planes.  Invariant for callers:
+        # pads occupy exactly the output tail — slice [:real_total].
         mx = max(r[0].shape[0] for r in nxt)
         for j, r in enumerate(nxt):
             if r[0].shape[0] < mx:
@@ -130,13 +136,17 @@ def merge_many(
                     jnp.concatenate(
                         [p, jnp.full(
                             (pad,),
-                            np.iinfo(p.dtype).max
-                            if jnp.issubdtype(p.dtype, jnp.integer)
-                            else np.uint32(0xFFFFFFFF),
+                            (np.iinfo(p.dtype).max
+                             if jnp.issubdtype(p.dtype, jnp.integer)
+                             else np.uint32(0xFFFFFFFF))
+                            if i < n_keys
+                            else (p.dtype.type(0)
+                                  if jnp.issubdtype(p.dtype, jnp.number)
+                                  else np.uint32(0)),
                             p.dtype,
                         )]
                     )
-                    for p in r
+                    for i, p in enumerate(r)
                 ]
         runs = nxt
     return runs[0]

@@ -70,6 +70,26 @@ def _roll(p, k, axis):
     return pltpu.roll(p, (-k) % dim, axis)
 
 
+def widen_plane(p: jax.Array):
+    """Widen a sub-32-bit plane to uint32 for the kernels; return
+    ``(widened, restore_fn)``.  Floats widen bit-exactly (bitcast through
+    the same-width uint); sub-32-bit ints sign/zero-extend and truncate
+    back (exact for the unsigned key planes and a round trip for signed
+    payloads)."""
+    dt = p.dtype
+    size = np.dtype(dt).itemsize
+    if size == 4:
+        return p, lambda q: q
+    if jnp.issubdtype(dt, jnp.floating):
+        narrow = jnp.uint16 if size == 2 else jnp.uint8
+        u = jax.lax.bitcast_convert_type(p, narrow)
+        return (
+            u.astype(jnp.uint32),
+            lambda q: jax.lax.bitcast_convert_type(q.astype(narrow), dt),
+        )
+    return p.astype(jnp.uint32), lambda q: q.astype(dt)
+
+
 def _lex_gt(xs, ys):
     """x > y lexicographically over key planes (most significant first)."""
     gt = jnp.zeros(xs[0].shape, jnp.bool_)
@@ -176,21 +196,47 @@ def _pallas_tail(planes, n_elems, block, n_keys, interpret):
     return [p.reshape(n_elems) for p in out]
 
 
-def fused_merge_available(planes: Sequence[jax.Array]) -> bool:
+def pick_block(n_planes: int) -> int:
+    """VMEM-resident block (elements) scaled to the plane count so in/out
+    buffers plus per-stage roll temporaries stay inside the ~16 MB VMEM
+    budget (round-2 advisor finding: an unbounded plane count at a fixed
+    2^17 block can fail Mosaic compile)."""
+    if n_planes <= 2:
+        return BLOCK  # 512 KB/plane/buffer
+    if n_planes <= 4:
+        return BLOCK // 2
+    return BLOCK // 4
+
+
+def fused_merge_available(
+    planes: Sequence[jax.Array], n_keys: int | None = None
+) -> bool:
     """True when the fused path can take these planes.
 
     Requirements: total length a power of two and >= 2*LANES (so lane
-    stages are well-formed), every plane 8/16/32-bit (16/8-bit planes are
-    widened for the kernel, an O(n) cost dwarfed by the merge win), and
-    either a real TPU backend or interpret mode forced (the interpreter
-    is far too slow for production-size merges, mirroring the
-    dense-emulation gate in parallel/shuffle.py).
+    stages are well-formed), every plane a <= 32-bit non-bool integer
+    (16/8-bit planes are widened for the kernel, an O(n) cost dwarfed by
+    the merge win) or — for payload planes beyond ``n_keys`` — a 16/32-bit
+    float (they ride through rolls/selects bit-exactly and never enter the
+    lexicographic compare), a bounded plane count (VMEM), and either a
+    real TPU backend or interpret mode forced (the interpreter is far too
+    slow for production-size merges, mirroring the dense-emulation gate
+    in parallel/shuffle.py).
     """
     n = int(planes[0].shape[0])
     if n < 2 * LANES or n & (n - 1):
         return False
-    if any(np.dtype(p.dtype).itemsize > 4 for p in planes):
+    if len(planes) > 8:
         return False
+    nk = len(planes) if n_keys is None else n_keys
+    for i, p in enumerate(planes):
+        dt = np.dtype(p.dtype)
+        if dt.itemsize > 4 or dt.kind == "b":
+            return False
+        if i < nk and dt.kind not in "ui":
+            return False
+        if dt.kind == "f" and dt.itemsize < 2:
+            return False
     if os.environ.get("RDST_TPU_FORCE_INTERPRET") not in (None, "0", "", "false"):
         return True
     return config.on_tpu() and not config.pallas_interpret()
@@ -208,20 +254,15 @@ def bitonic_merge_fused(
     """
     n = int(z[0].shape[0])
     interpret = config.pallas_interpret()
-    orig_dtypes = [p.dtype for p in z]
-    z = [
-        p.astype(jnp.uint32)
-        if np.dtype(p.dtype).itemsize < 4 and jnp.issubdtype(p.dtype, jnp.integer)
-        else p
-        for p in z
-    ]
+    wz = [widen_plane(p) for p in z]
+    z = [p for p, _ in wz]
+    blk = pick_block(len(z))
     s = n // 2
-    while s >= max(BLOCK, LANES * 2) and n > BLOCK:
+    while s >= max(blk, LANES * 2) and n > blk:
         z = _pallas_stage(z, n, s, n_keys, interpret)
         s //= 2
-    block = min(BLOCK, n)
-    z = _pallas_tail(z, n, block, n_keys, interpret)
-    return [p.astype(d) for p, d in zip(z, orig_dtypes)]
+    z = _pallas_tail(z, n, min(blk, n), n_keys, interpret)
+    return [r(p) for p, (_, r) in zip(z, wz)]
 
 
 def merge_level(
@@ -240,18 +281,16 @@ def merge_level(
     """
     n = int(planes[0].shape[0])
     interpret = config.pallas_interpret()
-    orig_dtypes = [p.dtype for p in planes]
+    wz = [widen_plane(p) for p in planes]
     z = []
-    for p in planes:
-        if np.dtype(p.dtype).itemsize < 4 and jnp.issubdtype(p.dtype, jnp.integer):
-            p = p.astype(jnp.uint32)
+    for p, _ in wz:
         v = p.reshape(-1, 2, m // LANES, LANES)
         r = jax.lax.rev(v[:, 1], (1, 2))
         z.append(jnp.stack([v[:, 0], r], axis=1).reshape(n))
+    blk = pick_block(len(z))
     s = m
-    while s >= max(BLOCK, LANES * 2) and 2 * m > BLOCK:
+    while s >= max(blk, LANES * 2) and 2 * m > blk:
         z = _pallas_stage(z, n, s, n_keys, interpret)
         s //= 2
-    block = min(BLOCK, 2 * m)
-    z = _pallas_tail(z, n, block, n_keys, interpret)
-    return [p.astype(d) for p, d in zip(z, orig_dtypes)]
+    z = _pallas_tail(z, n, min(blk, 2 * m), n_keys, interpret)
+    return [r(p) for p, (_, r) in zip(z, wz)]

@@ -1,0 +1,423 @@
+"""Reversal-free fused bitonic sort: the default dense executor on TPU.
+
+The single-chip dense-sort ceiling was XLA's variadic sorting network
+(~2.4 ns/el for 2 operand planes at 2^25).  probe18c decomposed the cost
+of the chunked-merge alternative and found the Pallas compare-exchange
+stage kernels run near HBM bandwidth at EVERY stride (0.03-0.06 ns/el);
+what lost 2.8x in round 2 was the per-level data REVERSAL that the
+textbook "merge two ascending runs" formulation requires (1.9 ns/el at
+run=2^24).  This module implements the reversal-free design recorded in
+BENCH_NOTES.md:
+
+  phase 0   chunk rows sort with ALTERNATING directions: odd rows sort
+            on bit-flipped keys (an elementwise XOR pre-pass) in ONE
+            batched ``lax.sort`` — flipped-ascending IS descending, so
+            concat(asc, desc) is directly bitonic and level 1 needs no
+            data movement at all.  The un-flip is fused into the first
+            merge kernel's loads.
+  levels    bitonic merge levels with PARITY-MASKED directions: at the
+            level producing runs of length 2R, output run q merges
+            descending iff q is odd (mask = one XOR against the
+            compare), so every level's output alternates asc/desc and
+            no reversal ever touches HBM.  The final level's q is always
+            0 — it comes out ascending with no special case.
+  span      (element stride s >= block) multi-stride fusion: a grid
+            cell gathers P strided pieces covering the interaction
+            closure of log2(P) consecutive stages — the flat sequence
+            viewed as (T/2s, P, u/w, w_rows, 128) so plain BlockSpecs
+            express the gather — and retires all of them in ONE HBM
+            round trip.
+  tail      (element strides < block) ONE kernel holds an aligned block
+            in VMEM as (block/128, 128) and runs every remaining stage
+            of one or SEVERAL levels locally: row strides via sublane
+            rolls, sub-128 strides via lane rolls (ops/pallas_merge.py's
+            machinery, plus the per-element direction masks).
+
+Stability: a uint32 global-index plane appended as the least significant
+key makes the total order strict, so the network's unique output IS the
+stable permutation — the reference's stable multithreaded workhorse
+contract (reference: src/sorts/mt_lsb_sort.rs:40-133, lib.rs stability
+docs).  The index plane also obviates the pad-marker plane: pads get
+indices >= n and sort after every real element.
+
+Role equivalence: this replaces the radix core of the reference's
+out_of_place_sort.rs:52-199 / mt_lsb_sort.rs:65-132 as the thing that
+beats a plain comparison sort on dense inputs; a K-pass radix was
+measured structurally unable to win on TPU (probe12, BENCH_NOTES.md).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from rdst_tpu import config
+from rdst_tpu.ops.pallas_merge import LANES, _lex_gt, _roll
+
+__all__ = ["fused_sort", "fused_sort_available", "MIN_ELEMS"]
+
+#: Below this the direct network wins (crossover measured by probe19).
+MIN_ELEMS = 1 << 21
+#: Phase-0 row length (elements): the batched lax.sort sweet spot is
+#: ~4096-wide rows (probe7: 0.47 ns/el 1-op); log^2 growth makes longer
+#: rows lose, shorter rows shift work into the (cheaper) tail levels.
+ROW = 1 << 12
+#: Plane-count ceiling: beyond this the shrunken VMEM block erodes the
+#: fusion win and the direct network is safer.
+MAX_PLANES = 8
+
+
+def _log2(x: int) -> int:
+    return int(x).bit_length() - 1
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def _pick_block(n_planes: int) -> int:
+    """VMEM-resident block (elements) scaled so in+out buffers plus the
+    per-stage roll temporaries of all planes stay inside the ~16 MB VMEM
+    budget (the round-2 advisor finding: never admit unbounded plane
+    counts at a fixed block)."""
+    if n_planes <= 2:
+        return 1 << 17  # 512 KB/plane/buffer
+    if n_planes <= 4:
+        return 1 << 16
+    return 1 << 15
+
+
+def _dir_stage(v, n_keys, k, axis, desc):
+    """One compare-exchange stage at distance ``k`` along ``axis`` of 2D
+    planes, with per-element (or scalar) direction ``desc`` (False =
+    ascending pair: min to the low index).
+
+    ``desc`` must be uniform within each pair — guaranteed because a
+    stage at element stride s only pairs elements within one output run
+    (s <= R < 2R).  Tie pairs swap when desc is set (lex_gt is strict);
+    that is a reorder of equal full tuples in the unstable case and
+    impossible in the stable case (the index plane makes keys distinct).
+    """
+    shape = v[0].shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+    low = (iota & k) == 0
+    up = [_roll(p, k, axis) for p in v]
+    dn = [_roll(p, -k, axis) for p in v]
+    # two lexicographic compares (one per pair half): a single compare
+    # whose swap bit rolls from the low to the high index would be
+    # cheaper, but Mosaic has no i1-vector roll lowering (measured:
+    # remote-compile HTTP 500), so each half recomputes its strict
+    # compare — consistent on ties because lex_gt is strict.
+    take_up = low & (_lex_gt(v[:n_keys], up[:n_keys]) ^ desc)
+    take_dn = (~low) & (_lex_gt(dn[:n_keys], v[:n_keys]) ^ desc)
+    return [
+        jnp.where(take_up, u, jnp.where(take_dn, d_, p))
+        for p, u, d_ in zip(v, up, dn)
+    ]
+
+
+def _level_stages(v, n_keys, start_stride, desc):
+    """All stages of one merge level from element stride ``start_stride``
+    down to 1 on a VMEM-resident (rows, LANES) view."""
+    s = start_stride
+    while s >= LANES:
+        v = _dir_stage(v, n_keys, s // LANES, 0, desc)
+        s //= 2
+    while s >= 1:
+        v = _dir_stage(v, n_keys, s, 1, desc)
+        s //= 2
+    return v
+
+
+def _tail_kernel(*refs, n_keys, block, levels, unflip_shift):
+    """Run one or more merge levels entirely inside a VMEM block.
+
+    ``levels``: tuple of (log2(2R), start_stride) — each level's output
+    run length and the largest element stride it still needs (R for
+    levels fully inside the block, block/2 after a span pass handled the
+    larger strides).  ``unflip_shift``: when set, key planes load XORed
+    back to original encoding for odd phase-0 rows (log2 of the phase-0
+    row length).
+    """
+    half = len(refs) // 2
+    ins, outs = refs[:half], refs[half:]
+    v = [r[0] for r in ins]  # (rows, LANES)
+    rows = block // LANES
+    i = pl.program_id(0)
+    e = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    )
+    log_block = _log2(block)
+    if unflip_shift is not None:
+        flip = (((i * block + e) >> unflip_shift) & 1) == 1
+        v = [
+            jnp.where(flip, ~p, p) if j < n_keys else p
+            for j, p in enumerate(v)
+        ]
+    for log_2r, start in levels:
+        if log_2r >= log_block:
+            # whole block inside one output run: scalar parity
+            desc = ((i >> (log_2r - log_block)) & 1) == 1
+        else:
+            desc = (((i * block + e) >> log_2r) & 1) == 1
+        v = _level_stages(v, n_keys, start, desc)
+    for p, o in zip(v, outs):
+        o[0] = p
+
+
+def _tail_call(planes, n, block, n_keys, levels, unflip_shift, interpret):
+    rows = block // LANES
+    nblk = n // block
+    shaped = [p.reshape(nblk, rows, LANES) for p in planes]
+    spec = lambda: pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(
+            _tail_kernel,
+            n_keys=n_keys,
+            block=block,
+            levels=tuple(levels),
+            unflip_shift=unflip_shift,
+        ),
+        grid=(nblk,),
+        in_specs=[spec() for _ in planes],
+        out_specs=[spec() for _ in planes],
+        out_shape=[jax.ShapeDtypeStruct(p.shape, p.dtype) for p in shaped],
+        interpret=interpret,
+    )(*shaped)
+    return [p.reshape(n) for p in out]
+
+
+def _span_kernel(*refs, n_keys, n_stages, w_rows, log_ratio):
+    """Phase A: ``n_stages`` consecutive large-stride stages in one trip.
+
+    Each ref is (1, P, 1, w_rows, LANES): P strided pieces whose piece
+    index c is exactly the stage-interaction bit field — a stage at
+    element stride s_lo * 2^t is a compare-exchange at distance 2^t
+    along c.  Collapsing (P, w_rows) into rows lets the sublane-roll
+    stage machinery run unchanged.  Direction is scalar per cell: the
+    cell's 2*s_hi span lies inside one output run of length 2R, whose
+    index is program_id(0) >> log_ratio.
+    """
+    half = len(refs) // 2
+    ins, outs = refs[:half], refs[half:]
+    a = pl.program_id(0)
+    desc = ((a >> log_ratio) & 1) == 1
+    p_dim = ins[0].shape[1]
+    v = [r[0, :, 0].reshape(p_dim * w_rows, LANES) for r in ins]
+    k = (p_dim // 2) * w_rows
+    for _ in range(n_stages):
+        v = _dir_stage(v, n_keys, k, 0, desc)
+        k //= 2
+    for p, o in zip(v, outs):
+        o[0, :, 0] = p.reshape(p_dim, w_rows, LANES)
+
+
+def _span_call(planes, n, s_hi, s_lo, two_r, block, n_keys, interpret):
+    p_dim = (2 * s_hi) // s_lo
+    w = block // p_dim
+    w_rows = w // LANES
+    w_cells = s_lo // w
+    a_dim = n // (2 * s_hi)
+    shaped = [
+        p.reshape(a_dim, p_dim, w_cells, w_rows, LANES) for p in planes
+    ]
+    spec = lambda: pl.BlockSpec(
+        (1, p_dim, 1, w_rows, LANES), lambda a, b: (a, 0, b, 0, 0)
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _span_kernel,
+            n_keys=n_keys,
+            n_stages=_log2(p_dim),
+            w_rows=w_rows,
+            log_ratio=_log2(two_r // (2 * s_hi)),
+        ),
+        grid=(a_dim, w_cells),
+        in_specs=[spec() for _ in planes],
+        out_specs=[spec() for _ in planes],
+        out_shape=[jax.ShapeDtypeStruct(p.shape, p.dtype) for p in shaped],
+        interpret=interpret,
+    )(*shaped)
+    return [p.reshape(n) for p in out]
+
+
+def _widen(p: jax.Array) -> tuple[jax.Array, Callable]:
+    """Widen a sub-32-bit plane to uint32 for the kernels; return the
+    restoring inverse.  Floats widen bit-exactly (bitcast through the
+    same-width uint); sub-32-bit ints sign/zero-extend and truncate back.
+    """
+    dt = p.dtype
+    size = np.dtype(dt).itemsize
+    if size == 4:
+        return p, lambda q: q
+    if jnp.issubdtype(dt, jnp.floating):
+        u = jax.lax.bitcast_convert_type(
+            p, jnp.uint16 if size == 2 else jnp.uint8
+        )
+        return (
+            u.astype(jnp.uint32),
+            lambda q: jax.lax.bitcast_convert_type(
+                q.astype(jnp.uint16 if size == 2 else jnp.uint8), dt
+            ),
+        )
+    return p.astype(jnp.uint32), lambda q: q.astype(dt)
+
+
+def fused_sort_available(
+    words: Sequence[jax.Array],
+    payloads: Sequence[jax.Array] = (),
+    *,
+    stable: bool = False,
+) -> bool:
+    """True when the fused executor can and should take this sort.
+
+    Keys must be unsigned integer planes <= 32 bits (keys.py normalizes
+    every key type to exactly that); payloads any non-bool <= 32-bit
+    numeric (floats ride bit-cast).  Total plane count (including the
+    stable index plane and a potential pad marker) is VMEM-bounded.
+    """
+    n = int(words[0].shape[0])
+    if n < MIN_ELEMS:
+        return False
+    for p in words:
+        dt = np.dtype(p.dtype)
+        if dt.itemsize > 4 or dt.kind != "u":
+            return False
+    for p in payloads:
+        dt = np.dtype(p.dtype)
+        if dt.itemsize > 4 or dt.kind not in "uif":
+            return False
+        if dt.kind == "f" and dt.itemsize < 2:
+            return False
+    if len(words) + len(payloads) + 2 > MAX_PLANES:
+        return False
+    if os.environ.get("RDST_TPU_FORCE_INTERPRET") not in (
+        None,
+        "0",
+        "",
+        "false",
+    ):
+        return True
+    return config.on_tpu() and not config.pallas_interpret()
+
+
+def fused_sort(
+    words: Sequence[jax.Array],
+    payloads: Sequence[jax.Array] = (),
+    *,
+    stable: bool = False,
+    row: int | None = None,
+    block: int | None = None,
+) -> tuple[list[jax.Array], list[jax.Array]]:
+    """Sort key word planes (most significant first) + payload planes.
+
+    Fully jittable: every decision (pad amount, level schedule, block
+    sizes) is static in the input shape.
+    """
+    words = list(words)
+    payloads = list(payloads)
+    n = int(words[0].shape[0])
+    nk = len(words)
+    interpret = config.pallas_interpret()
+
+    wk = [_widen(p) for p in words]
+    wp = [_widen(p) for p in payloads]
+    kplanes = [p for p, _ in wk]
+    pplanes = [p for p, _ in wp]
+    for p in kplanes:
+        if not jnp.issubdtype(p.dtype, jnp.unsignedinteger):
+            raise TypeError(
+                f"fused_sort keys must normalize to unsigned planes, got "
+                f"{p.dtype}"
+            )
+
+    T = _next_pow2(n)
+    pad = T - n
+    if pad:
+        kplanes = [
+            jnp.concatenate(
+                [p, jnp.full((pad,), np.uint32(0xFFFFFFFF), p.dtype)]
+            )
+            for p in kplanes
+        ]
+    planes = list(kplanes)
+    n_keys = nk
+    if stable:
+        # strict total order => the unique network output is the stable
+        # permutation; doubles as the pad marker (pad indices >= n).
+        planes.append(jnp.arange(T, dtype=jnp.uint32))
+        n_keys += 1
+    elif pad and pplanes:
+        # pads must not trade payloads with real all-ones keys
+        planes.append(
+            jnp.concatenate(
+                [jnp.zeros((n,), jnp.uint32), jnp.ones((pad,), jnp.uint32)]
+            )
+        )
+        n_keys += 1
+    if pad:
+        pplanes = [
+            jnp.concatenate([p, jnp.zeros((pad,), p.dtype)]) for p in pplanes
+        ]
+    planes += pplanes
+
+    def finish(out):
+        out = [p[:n] for p in out] if pad else list(out)
+        if n_keys > nk:
+            out = out[:nk] + out[nk + 1 :]
+        return (
+            [r(p) for p, (_, r) in zip(out[:nk], wk)],
+            [r(p) for p, (_, r) in zip(out[nk:], wp)],
+        )
+
+    blk = block or _pick_block(len(planes))
+    blk = min(blk, T)
+    m = min(row or ROW, blk // 2)
+    if T < 2 * LANES or m < 2 or blk < 2 * LANES:
+        out = jax.lax.sort(tuple(planes), num_keys=n_keys, is_stable=False)
+        return finish(out)
+
+    log_m, log_b, log_t = _log2(m), _log2(blk), _log2(T)
+
+    # phase 0: alternating-direction chunk rows in one batched sort
+    gid = jnp.arange(T, dtype=jnp.uint32)
+    flip = ((gid >> np.uint32(log_m)) & np.uint32(1)) == 1
+    planes = [
+        jnp.where(flip, ~p, p) if j < n_keys else p
+        for j, p in enumerate(planes)
+    ]
+    rows2 = [p.reshape(T // m, m) for p in planes]
+    srt = jax.lax.sort(tuple(rows2), dimension=1, num_keys=n_keys,
+                       is_stable=False)
+    planes = [p.reshape(T) for p in srt]
+
+    # trip 1: un-flip + all levels up to run length == block, in VMEM
+    levels = [(l2r, 1 << (l2r - 1)) for l2r in range(log_m + 1, log_b + 1)]
+    planes = _tail_call(
+        planes, T, blk, n_keys, levels, unflip_shift=log_m,
+        interpret=interpret,
+    )
+
+    # levels above the block: span trip(s) for strides R..block, then one
+    # tail trip for the in-block strides
+    max_span = _log2(blk // LANES)
+    for log_r in range(log_b, log_t):
+        two_r = 1 << (log_r + 1)
+        hi = log_r
+        while hi >= log_b:
+            lo = max(log_b, hi - max_span + 1)
+            planes = _span_call(
+                planes, T, 1 << hi, 1 << lo, two_r, blk, n_keys, interpret
+            )
+            hi = lo - 1
+        planes = _tail_call(
+            planes, T, blk, n_keys, [(log_r + 1, blk // 2)], None, interpret
+        )
+
+    return finish(planes)

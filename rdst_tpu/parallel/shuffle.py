@@ -132,6 +132,7 @@ def _local_shard_body(
     use_ragged: bool,
     split_uniform: bool,
     return_partition: bool,
+    overlap: bool,
     *arrs,
 ):
     """shard_map body. arrs = word planes + payload planes, local shards."""
@@ -242,7 +243,7 @@ def _local_shard_body(
     # 4-6. exchange + local finish
     out_planes, n_valid = _exchange_and_finish(
         sorted_all, n_keys, input_offsets, send_sizes, capacity, stable,
-        use_ragged, axis, D, me, n_local,
+        use_ragged, axis, D, me, n_local, overlap=overlap,
     )
     outs = tuple(out_planes) + (n_valid[None],)
     if return_partition:
@@ -261,7 +262,7 @@ def _local_shard_body(
 
 def _exchange_and_finish(
     planes, n_keys, input_offsets, send_sizes, capacity, stable,
-    use_ragged, axis, D, me, n_local,
+    use_ragged, axis, D, me, n_local, overlap=False,
 ):
     """Ragged all-to-all of contiguous send segments + local re-sort.
 
@@ -269,7 +270,96 @@ def _exchange_and_finish(
     destination d is ``[input_offsets[d], input_offsets[d]+send_sizes[d])``.
     Returns (capacity-sized planes in sorted order with PAD_WORD tails,
     received-row count).
+
+    ``overlap=True`` runs the exchange in TWO phases split by SENDER half
+    (devices < D/2 send in phase 1, the rest in phase 2) and finishes
+    phase 1's local sort while phase 2 is in flight — XLA's async
+    collectives let the phase-1 sort hide under the phase-2 all-to-all
+    (SURVEY §7 step 6; the reference's scanning workers stream counts
+    while scattering, scanning_sort.rs:91-218).  The two sorted halves
+    combine with the fused bitonic merge (ops/merge.py), which keeps the
+    sender order on ties, so stable mode is preserved: phase-1 senders
+    all precede phase-2 senders, and the merge's a-side wins ties.
+    Single-chip semantics are identical to the sequential path (parity
+    pinned by tests/test_exchange_parity.py).
     """
+    if overlap and D > 1:
+        half = D // 2
+        sizes1 = jnp.where(me < half, send_sizes, 0)
+        sizes2 = send_sizes - sizes1
+        p1, v1 = _exchange_once(
+            planes, n_keys, input_offsets, sizes1, capacity, stable,
+            use_ragged, axis, D, me, n_local,
+        )
+        p2, v2 = _exchange_once(
+            planes, n_keys, input_offsets, sizes2, capacity, stable,
+            use_ragged, axis, D, me, n_local,
+        )
+        # merge the two sorted capacity buffers (validity plane leads so
+        # pads sort behind real all-ones keys); a-side = phase-1 senders
+        from rdst_tpu.ops.merge import merge_sorted
+
+        cap2 = 1 << max(0, (capacity - 1).bit_length())
+        def padp(p):
+            fill = p.dtype.type(PAD_WORD)
+            return (
+                jnp.concatenate([p, jnp.full((cap2 - capacity,), fill,
+                                             p.dtype)])
+                if cap2 > capacity else p
+            )
+        merged = merge_sorted(
+            [padp(p) for p in p1], [padp(p) for p in p2], 1 + n_keys,
+            stable=stable,
+        )
+        return [p[:capacity] for p in merged[1:]], v1 + v2
+    out_planes, valid_mask, n_valid = _exchange_raw(
+        planes, input_offsets, send_sizes, capacity, use_ragged, axis, D,
+        me, n_local,
+    )
+    return _finish_sort(out_planes, valid_mask, n_keys, capacity, stable), \
+        n_valid
+
+
+def _exchange_once(
+    planes, n_keys, input_offsets, send_sizes, capacity, stable,
+    use_ragged, axis, D, me, n_local,
+):
+    """One phase of the overlapped exchange: raw exchange + local sort.
+
+    Returns capacity-sized planes LED by the validity plane (0 = real,
+    1 = pad) so the caller can merge phases, plus the valid count.
+    """
+    out_planes, valid_mask, n_valid = _exchange_raw(
+        planes, input_offsets, send_sizes, capacity, use_ragged, axis, D,
+        me, n_local,
+    )
+    validity = jnp.where(valid_mask, np.uint32(0), np.uint32(1))
+    resorted = jax.lax.sort(
+        tuple([validity] + list(out_planes)),
+        num_keys=1 + n_keys,
+        is_stable=stable,
+    )
+    return [p[:capacity] for p in resorted], n_valid
+
+
+def _finish_sort(out_planes, valid_mask, n_keys, capacity, stable):
+    # local sort of received data; a leading validity plane keeps pads
+    # behind any real all-ones keys, then truncate to capacity.
+    validity = jnp.where(valid_mask, np.uint32(0), np.uint32(1))
+    resorted = jax.lax.sort(
+        tuple([validity] + list(out_planes)),
+        num_keys=1 + n_keys,
+        is_stable=stable,
+    )
+    return [p[:capacity] for p in resorted[1:]]
+
+
+def _exchange_raw(
+    planes, input_offsets, send_sizes, capacity, use_ragged, axis, D, me,
+    n_local,
+):
+    """The bare collective: returns (received planes, validity mask,
+    valid count)."""
     # size matrix via all_gather -> offsets in receiver buffers
     size_matrix = jax.lax.all_gather(send_sizes, axis)  # (D, D)[sender, dst]
     recv_sizes = size_matrix[:, me]  # what each sender sends me
@@ -323,33 +413,24 @@ def _exchange_and_finish(
             out_planes.append(recv.reshape(-1))
         valid_mask = (pos < recv_sizes[:, None]).reshape(-1)
 
-    # local sort of received data; a leading validity plane keeps pads
-    # behind any real all-ones keys, then truncate to capacity.
-    validity = jnp.where(valid_mask, np.uint32(0), np.uint32(1))
-    resorted = jax.lax.sort(
-        tuple([validity] + list(out_planes)),
-        num_keys=1 + n_keys,
-        is_stable=stable,
-    )
-    out_planes = [p[:capacity] for p in resorted[1:]]
-    return out_planes, n_valid
+    return out_planes, valid_mask, n_valid
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "mesh", "axis", "n_key_words", "capacity", "stable", "use_ragged",
-        "split_uniform", "return_partition",
+        "split_uniform", "return_partition", "overlap",
     ),
 )
 def _distributed_sort_jit(
     arrs, mesh: Mesh, axis: str, n_key_words: int, capacity: int,
     stable: bool, use_ragged: bool, split_uniform: bool = True,
-    return_partition: bool = False,
+    return_partition: bool = False, overlap: bool = False,
 ):
     body = functools.partial(
         _local_shard_body, axis, n_key_words, capacity, stable, use_ragged,
-        split_uniform, return_partition,
+        split_uniform, return_partition, overlap,
     )
     n_arr = len(arrs)
     n_part = 4 if return_partition else 0
@@ -491,6 +572,7 @@ def distributed_sort(
     split_uniform: bool = True,
     return_partition: bool = False,
     use_ragged: bool | None = None,
+    overlap_exchange: bool = False,
 ):
     """Sort globally over a mesh axis.
 
@@ -505,6 +587,9 @@ def distributed_sort(
     the partition will be reused for co-partitioning another dataset);
     ``return_partition=True`` appends the reusable partition state for
     :func:`partition_exchange` as a fourth return value.
+    ``overlap_exchange=True`` pipelines the all-to-all in two sender-half
+    phases so the first half's local sort hides under the second half's
+    collective (see _exchange_and_finish) — bitwise-identical output.
     """
     D = mesh.devices.size
     n = int(words[0].shape[0])
@@ -521,6 +606,7 @@ def distributed_sort(
     out, counts, partition = _distributed_sort_jit(
         arrs, mesh, axis, len(words), capacity, stable, use_ragged,
         split_uniform=split_uniform, return_partition=return_partition,
+        overlap=overlap_exchange,
     )
     k = len(words)
     if return_partition:

@@ -129,8 +129,8 @@ def packed_sort(
         # nothing to compact and no width to shave
         return comparative_sort(words, payloads, stable=stable)
     packed = _pack_levels(words, varying)
-    # route through comparative_sort so large unstable packed sorts take
-    # the fused-merge executor (sorts/fused_merge.py) when available
+    # route through comparative_sort so large packed sorts take the
+    # fused bitonic executor (ops/pallas_sort.py) when available
     out_packed, out_payloads = comparative_sort(
         packed, payloads, stable=stable
     )

@@ -146,15 +146,32 @@ def bucketed_sort(
     part_planes = list(part[1:])
     n_words = len(words)
 
+    starts_np = (np.cumsum(top) - top).astype(np.int64)
+
     # 2. per-bucket depth-1 re-tuning (reference: sorter.rs:121-171 re-picks
-    # per 256-bucket). hist2[b] = bucket b's level-(L-2) histogram.
-    picks: dict[int, Algorithm] = {}
+    # per 256-bucket). hist2[b] = bucket b's level-(L-2) histogram.  The
+    # re-tune edges AND every carved bucket's single-key flag fetch in ONE
+    # batched device round trip — the per-bucket jnp.min/max syncs this
+    # replaces cost ~3 ms each over the tunnel on the dispatch path.
+    edges_dev = None
     if tuner is not None and L >= 2:
-        edges = jnp.searchsorted(
+        edges_dev = jnp.searchsorted(
             part[0], jnp.arange(RADIX * RADIX + 1, dtype=jnp.uint32),
             side="left",
         )
-        hist2 = np.asarray(edges[1:] - edges[:-1]).reshape(RADIX, RADIX)
+    single_dev = {}
+    for b in carved:
+        s, ln = int(starts_np[b]), int(top[b])
+        if ln > 0:
+            bw = [p[s : s + ln] for p in part_planes[:n_words]]
+            single_dev[b] = jnp.stack(
+                [jnp.min(w) == jnp.max(w) for w in bw]
+            ).all()
+    edges_np, single_key_flags = jax.device_get((edges_dev, single_dev))
+
+    picks: dict[int, Algorithm] = {}
+    if edges_np is not None:
+        hist2 = (edges_np[1:] - edges_np[:-1]).reshape(RADIX, RADIX)
         for b in range(RADIX):
             ln = int(top[b])
             if ln == 0:
@@ -177,8 +194,6 @@ def bucketed_sort(
             summary = " ".join(f"{k}x{v}" for k, v in sorted(names.items()))
             _trace(f"({L - 2}) PLAN: BatchedRows[{summary}] cap={cap}")
 
-    starts_np = (np.cumsum(top) - top).astype(np.int64)
-
     # 3. carved dominant buckets: contiguous static slices, each with its
     # own depth-1 plan (ska_sort.rs:52-65 brought down from pod scale).
     carved_out: dict[int, tuple[list, list]] = {}
@@ -190,10 +205,7 @@ def bucketed_sort(
             continue
         bw = [p[s : s + ln] for p in part_planes[:n_words]]
         bp = [p[s : s + ln] for p in part_planes[n_words:]]
-        single_key = all(
-            bool(jnp.min(w) == jnp.max(w)) for w in bw
-        )
-        if single_key:
+        if bool(single_key_flags[b]):
             # Zipf hot-key fast path: nothing to sort; the stable
             # partition already left payloads in stable order.
             _trace(f"({L - 2}) PLAN: SingleKeySkip len={ln} bucket={b}")

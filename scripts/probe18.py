@@ -12,6 +12,12 @@ the headline config (u64 as 2 words, 2^25, unstable) and at 1-word 2^24,
   S3  10M 1-word: direct vs fused (pad-to-2^24 overhead test)
 
 Run: python scripts/probe18.py C0 S1 ...
+
+HISTORICAL (round 2): the chunked executor measured here lost 2.8x to the
+direct network because of the per-level reversal pass (see probe18c); it
+was replaced in round 3 by the reversal-free design in ops/pallas_sort.py
+(measured by probe19).  This probe now runs against the new executor via
+a shim so the old numbers remain reproducible in spirit.
 """
 import sys
 import time
@@ -21,7 +27,13 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
-from rdst_tpu.sorts.fused_merge import fused_merge_sort  # noqa: E402
+from rdst_tpu.ops.pallas_sort import fused_sort  # noqa: E402
+
+
+def fused_merge_sort(words, payloads=(), *, m=None):
+    # round-3 shim: m was the round-2 chunk length; the new executor's
+    # closest knob is the phase-0 row length (capped at block/2 inside)
+    return fused_sort(words, payloads, row=min(m or 4096, 4096))
 
 H = np.uint32(2654435761)
 

@@ -121,6 +121,49 @@ def test_ragged_vs_dense_exchange_parity(mesh, rng, patched_ragged,
             np.testing.assert_array_equal(a2[d, : cnts[d]], b2[d, : cnts[d]])
 
 
+@pytest.mark.parametrize("stable", [True, False])
+@pytest.mark.parametrize("dist", ["uniform", "hotkey"])
+def test_overlapped_exchange_parity(mesh, rng, dist, stable):
+    """The two-phase overlapped exchange (sender-half split + fused merge
+    combine, SURVEY §7 step 6) is bitwise-identical to the sequential
+    path in stable mode and key-identical in unstable mode."""
+    n = 1 << 12
+    words, pay = _planes(rng, n)
+    if dist == "hotkey":
+        words = [
+            jnp.concatenate(
+                [jnp.full((n // 2,), np.uint32(0xDEAD0000)),
+                 words[0][n // 2:]]
+            ),
+            words[1],
+        ]
+    kw = dict(mesh=mesh, capacity_factor=6.0, stable=stable,
+              use_ragged=False)
+    w_s, p_s, c_s = distributed_sort(words, pay, **kw)
+    w_o, p_o, c_o = distributed_sort(words, pay, overlap_exchange=True,
+                                     **kw)
+    np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_o))
+    cnts = np.asarray(c_s)
+    D = cnts.shape[0]
+    planes_s = [np.asarray(a).reshape(D, -1) for a in w_s + p_s]
+    planes_o = [np.asarray(a).reshape(D, -1) for a in w_o + p_o]
+    for d in range(D):
+        if stable:
+            for a, b in zip(planes_s, planes_o):
+                np.testing.assert_array_equal(a[d, : cnts[d]],
+                                              b[d, : cnts[d]])
+        else:
+            # unstable: keys agree exactly, (key, payload) rows as multisets
+            rows_s = sorted(map(tuple, np.stack(
+                [a[d, : cnts[d]] for a in planes_s], 1).tolist()))
+            rows_o = sorted(map(tuple, np.stack(
+                [a[d, : cnts[d]] for a in planes_o], 1).tolist()))
+            assert rows_s == rows_o
+            for a, b in zip(planes_s[:2], planes_o[:2]):
+                np.testing.assert_array_equal(a[d, : cnts[d]],
+                                              b[d, : cnts[d]])
+
+
 def test_ragged_vs_dense_partition_exchange(mesh, rng, patched_ragged):
     n = 1 << 12
     words, pay = _planes(rng, n, n_words=1)

@@ -86,40 +86,6 @@ def test_u16_planes_round_trip():
     )
 
 
-def test_fused_merge_sort_end_to_end(monkeypatch):
-    """Chunked batched sort + fused merge tree == lexsort, including
-    non-power-of-two lengths with payloads (pad marker plane)."""
-    import jax.numpy as jnp
-
-    import rdst_tpu.sorts.fused_merge as fm
-
-    monkeypatch.setattr(pm, "BLOCK", 2048)
-    monkeypatch.setattr(pm, "CHUNK", 512)
-    monkeypatch.setattr(fm, "MIN_ELEMS", 1024)
-    monkeypatch.setattr(fm, "CHUNK_TARGET", 1024)
-    rng = np.random.default_rng(9)
-    for n, nw, npay in [(4096, 2, 0), (5000, 1, 1), (4429, 2, 1)]:
-        W = rng.integers(0, 2**32, size=(nw, n), dtype=np.uint32) % 211
-        P = rng.integers(0, 2**32, size=(npay, n), dtype=np.uint32)
-        w, p = fm.fused_merge_sort(
-            [jnp.asarray(x) for x in W], [jnp.asarray(x) for x in P]
-        )
-        order = np.lexsort(W[::-1])
-        for i in range(nw):
-            np.testing.assert_array_equal(np.asarray(w[i]), W[i][order])
-        if npay:
-            got = sorted(
-                map(
-                    tuple,
-                    np.stack(
-                        [np.asarray(x) for x in list(w) + list(p)], 1
-                    ).tolist(),
-                )
-            )
-            want = sorted(map(tuple, np.concatenate([W, P]).T.tolist()))
-            assert got == want
-
-
 def test_merge_sorted_routes_through_fused(monkeypatch):
     """merge_sorted takes the fused path (incl. the stable tiebreak
     plane) when the gate opens, and agrees with the XLA stage loop."""
