@@ -58,6 +58,18 @@ low_mem_threshold_bytes = int(
 #: Algorithm or supplying a custom tuner always runs the device plans.
 host_sort_max = int(os.environ.get("RDST_TPU_HOST_SORT_MAX", str(1 << 18)))
 
+#: Presorted-input advantage (reference analog: lsb_sort.rs:62-83 skips
+#: newly-sorted levels at runtime; benches/struct_sort.rs:43-127 measures
+#: 90%-presorted inputs): when the histogram pass finds a sorted prefix
+#: covering at least half the input, the sorter sorts only the suffix and
+#: bitonic-merges the halves (ops/merge.py). The split is quantized to
+#: sixteenths of the padded size so the jit cache stays bounded. 0
+#: disables; the default engages where the fused merge is measured ~10x
+#: the XLA stage loop (>= 2^17 elements).
+presorted_merge_min = int(
+    os.environ.get("RDST_TPU_PRESORTED_MIN", str(1 << 17))
+)
+
 
 # work_profiles-equivalent: trace per-level algorithm picks
 # (reference: Cargo.toml:18, src/sorter.rs:78-79).

@@ -47,6 +47,13 @@ class HistogramResult:
 
     counts: np.ndarray  # (L, 256) int64
     level_sorted: np.ndarray  # (L,) bool
+    #: Length of the longest lexicographically-nondecreasing PREFIX of the
+    #: full key (all word planes).  Powers the presorted-input advantage
+    #: (reference analog: lsb_sort.rs:62-83 re-counts per pass to skip
+    #: newly-sorted work; benches/struct_sort.rs:43-127 measures
+    #: 90%-presorted inputs): a long sorted prefix lets the sorter sort
+    #: only the suffix and bitonic-merge the halves.  0 when not computed.
+    sorted_prefix: int = 0
 
     @property
     def n(self) -> int:
@@ -199,7 +206,23 @@ def _multi_level_device(words, n_bytes: int, n: int):
     ok = jnp.all(aux[:, 0, :] == 1, axis=0)
     bounds = jnp.all(aux[1:, 1, :] >= aux[:-1, 2, :], axis=0)
     level_sorted = jnp.logical_and(ok, bounds)
-    return counts, level_sorted
+
+    # longest lexicographically-nondecreasing prefix over the FULL key:
+    # one elementwise pass + argmax, fused into this same jit so the
+    # planning fetch stays a single device round trip.  A strict descent
+    # at i means prefix length i+1.
+    gt = jnp.zeros((n - 1,), jnp.bool_) if n > 1 else jnp.zeros((0,), jnp.bool_)
+    eq = jnp.ones_like(gt)
+    for w in words:
+        a, b = w[:-1], w[1:]
+        gt = gt | (eq & (a > b))
+        eq = eq & (a == b)
+    if n > 1:
+        first_desc = jnp.argmax(gt).astype(jnp.int32)  # 0 if none set
+        prefix = jnp.where(jnp.any(gt), first_desc + 1, n).astype(jnp.int32)
+    else:
+        prefix = jnp.int32(n)
+    return counts, level_sorted, prefix
 
 
 def multi_level_histogram(words, n_bytes: int) -> HistogramResult:
@@ -209,9 +232,14 @@ def multi_level_histogram(words, n_bytes: int) -> HistogramResult:
     same host-visible cost when its tuner inspects counts (sorter.rs:55-76).
     """
     n = int(words[0].shape[0])
-    counts, level_sorted = _multi_level_device(tuple(words), n_bytes, n)
+    counts, level_sorted, prefix = _multi_level_device(
+        tuple(words), n_bytes, n
+    )
+    counts_np, sorted_np, prefix_np = jax.device_get(
+        (counts, level_sorted, prefix)
+    )
     return HistogramResult(
-        np.asarray(counts).astype(np.int64), np.asarray(level_sorted)
+        counts_np.astype(np.int64), sorted_np, int(prefix_np)
     )
 
 

@@ -45,28 +45,34 @@ def merge_sorted(
     stable: bool = False,
 ) -> list[jax.Array]:
     """Merge two sorted plane-lists (first ``n_keys`` planes are the key,
-    most significant first). Lengths must be equal powers of two (pad with
-    all-ones sentinel keys to satisfy; pads sort to the tail).
+    most significant first). The TOTAL length must be a power of two
+    (equal halves is the common case; unequal splits — e.g. a long
+    presorted prefix + a short sorted suffix — are fine: ascending-a then
+    descending-b is bitonic wherever the peak sits). Pad with all-ones
+    sentinel keys to reach a power of two; pads sort to the tail.
 
     ``stable=True`` appends a synthetic tiebreak plane (a-side before
     b-side, original order within side) so equal keys merge stably.
     """
-    m = planes_a[0].shape[0]
-    if m != planes_b[0].shape[0] or m & (m - 1):
-        raise ValueError("merge_sorted needs equal power-of-two lengths")
+    la = planes_a[0].shape[0]
+    lb = planes_b[0].shape[0]
+    total = la + lb
+    if total & (total - 1):
+        raise ValueError("merge_sorted needs a power-of-two total length")
     planes_a = list(planes_a)
     planes_b = list(planes_b)
     nk = n_keys
     if stable:
-        iota = jax.lax.broadcasted_iota(jnp.uint32, (m, 1), 0).squeeze(-1)
-        planes_a = planes_a[:nk] + [iota] + planes_a[nk:]
-        planes_b = planes_b[:nk] + [iota + np.uint32(m)] + planes_b[nk:]
+        ia = jax.lax.broadcasted_iota(jnp.uint32, (la, 1), 0).squeeze(-1)
+        ib = jax.lax.broadcasted_iota(jnp.uint32, (lb, 1), 0).squeeze(-1)
+        planes_a = planes_a[:nk] + [ia] + planes_a[nk:]
+        planes_b = planes_b[:nk] + [ib + np.uint32(la)] + planes_b[nk:]
         nk = nk + 1
 
-    # bitonic: concat(a, reverse(b)) then log2(2m) split stages
+    # bitonic: concat(a, reverse(b)) then log2(total) split stages
     # (2D double-rev form: the flat [::-1] costs ~1.9 ns/el at 2^24 on
     # TPU while this lowers near-bandwidth — probe18c/18d)
-    if m % 128 == 0:
+    if lb % 128 == 0 and lb > 0:
         from rdst_tpu.ops.pallas_merge import rev_fast
 
         z = [
@@ -83,13 +89,12 @@ def merge_sorted(
         fused_merge_available,
     )
 
-    if 2 * m >= _FUSED_MIN and fused_merge_available(z):
+    if total >= _FUSED_MIN and fused_merge_available(z):
         z = bitonic_merge_fused(z, nk)
         if stable:
             z = z[:n_keys] + z[n_keys + 1 :]
         return z
-    total = 2 * m
-    s = m
+    s = total // 2
     while s >= 1:
         zs = [p.reshape(total // (2 * s), 2, s) for p in z]
         lo = [p[:, 0, :] for p in zs]

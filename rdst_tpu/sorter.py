@@ -134,7 +134,22 @@ class Sorter:
             tuner=self.tuner,
         )
         plan = _PLANS[algo]
-        out_words, out_payloads = plan(words, payloads, ctx)
+        split = _presorted_split(n, hist)
+        if algo is Algorithm.MT_OOP:
+            # bucketed_sort sizes its buckets from ctx.hist's full-input
+            # counts — running it on a suffix would partition wrongly.
+            split = None
+        if split is not None:
+            # presorted-input advantage (lsb_sort.rs:62-83's runtime skip,
+            # struct_sort.rs:43-127's 90%-presorted regime): keep the
+            # sorted prefix, run the plan on the suffix only, then
+            # bitonic-merge the halves near-bandwidth (ops/merge.py).
+            self._trace(L - 1, f"PresortedMerge[{algo.value}]", n)
+            out_words, out_payloads = _presorted_merge(
+                words, payloads, split, plan, ctx, stable
+            )
+        else:
+            out_words, out_payloads = plan(words, payloads, ctx)
         return (
             NormalizedKeys(tuple(out_words), nk.n_bytes, nk.meta),
             list(out_payloads),
@@ -142,12 +157,93 @@ class Sorter:
 
     @staticmethod
     def _trace(level: int, algo, n: int) -> None:
-        # work_profiles-equivalent pick trace (reference: sorter.rs:78-79
-        # prints "({level}) PAR: {algorithm:?}").
-        if config.work_profiles_enabled():
-            name = algo.value if isinstance(algo, Algorithm) else str(algo)
-            mode = "PLAN"
-            print(f"({level}) {mode}: {name} len={n}")
+        _trace_pick(level, algo, n)
+
+
+def _trace_pick(level: int, algo, n: int) -> None:
+    # work_profiles-equivalent pick trace (reference: sorter.rs:78-79
+    # prints "({level}) PAR: {algorithm:?}").
+    if config.work_profiles_enabled():
+        name = algo.value if isinstance(algo, Algorithm) else str(algo)
+        print(f"({level}) PLAN: {name} len={n}")
+
+
+def _presorted_split(n: int, hist) -> tuple[int, int] | None:
+    """(split, padded_total) when the presorted-prefix path should engage.
+
+    The split is the sorted-prefix length quantized DOWN to sixteenths of
+    the padded power-of-two total (a shorter prefix is still sorted, and
+    quantizing bounds the jit cache to a handful of suffix shapes).
+    Engages when the quantized prefix covers at least half the input.
+    """
+    if hist is None or n < config.presorted_merge_min:
+        return None
+    prefix = getattr(hist, "sorted_prefix", 0)
+    T = 1 << (n - 1).bit_length()
+    q = T // 16
+    s = (min(prefix, n) // q) * q
+    if s * 2 < n or s >= n or s <= 0:
+        return None
+    return s, T
+
+
+def _presorted_merge(words, payloads, split, plan, ctx, stable):
+    """Sort only the suffix, then bitonic-merge prefix and suffix.
+
+    Pads (to the power-of-two total) carry all-ones keys plus a validity
+    plane appended as the LEAST significant key, so they sort strictly
+    after every real element — including real all-ones keys — and slice
+    off the tail.  Stability: the prefix keeps its original order, the
+    suffix plan honors ``stable``, and ``merge_sorted(stable=True)``
+    breaks key ties a-side-first (prefix elements precede suffix elements
+    in the input order).
+    """
+    import jax.numpy as jnp
+
+    from rdst_tpu.ops.merge import merge_sorted
+
+    s, T = split
+    n = int(words[0].shape[0])
+    nw = len(words)
+    suf_w, suf_p = plan(
+        [w[s:] for w in words], [p[s:] for p in payloads], ctx
+    )
+    pad = T - n
+
+    def a_side(p):
+        return p[:s]
+
+    def b_side(p, fill):
+        if pad == 0:
+            return p
+        return jnp.concatenate([p, jnp.full((pad,), fill, p.dtype)])
+
+    ones = lambda p: p.dtype.type(np.iinfo(p.dtype).max)
+    zero = lambda p: (
+        p.dtype.type(0)
+        if jnp.issubdtype(p.dtype, jnp.number)
+        else np.uint32(0)
+    )
+    a = (
+        [a_side(w) for w in words]
+        + [jnp.zeros((s,), jnp.uint32)]
+        + [a_side(p) for p in payloads]
+    )
+    b = (
+        [b_side(w, ones(w)) for w in suf_w]
+        + [
+            jnp.concatenate(
+                [jnp.zeros((n - s,), jnp.uint32),
+                 jnp.ones((pad,), jnp.uint32)]
+            )
+            if pad
+            else jnp.zeros((n - s,), jnp.uint32)
+        ]
+        + [b_side(p, zero(p)) for p in suf_p]
+    )
+    merged = merge_sorted(a, b, nw + 1, stable=stable)
+    merged = [p[:n] for p in merged]
+    return merged[:nw], merged[nw + 1 :]
 
 
 def _register_default_plans():

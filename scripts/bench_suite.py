@@ -103,11 +103,26 @@ def xor_scramble(ws):
     return [w ^ C for w in ws]
 
 
+def suffix_scramble(s):
+    """Rehash only the tail beyond ``s``: the presorted-prefix plan's
+    correctness (and the benched regime) depends on the prefix staying
+    sorted across iterations — exactly struct_sort.rs:43-127's fixed
+    90%-presorted inputs."""
+
+    def scramble(ws):
+        C = np.uint32(0xB5A93E6B)
+        import jax.numpy as jnp
+
+        return [jnp.concatenate([w[:s], w[s:] ^ C]) for w in ws]
+
+    return scramble
+
+
 def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4",
+    ap.add_argument("--configs", default="1,2,3,4,6",
                     help="comma-separated subset of configs to run")
     opts = ap.parse_args()
     run = set(opts.configs.split(","))
@@ -120,7 +135,8 @@ def main():
     rng = np.random.default_rng(0)
     sorter = Sorter()
 
-    def bench_config(metric, words_np, payloads_np, n_bytes, stable):
+    def bench_config(metric, words_np, payloads_np, n_bytes, stable,
+                     scramble=xor_scramble):
         ws = [jnp.asarray(w) for w in words_np]
         ps = [jnp.asarray(p) for p in payloads_np]
         hist = multi_level_histogram(ws, n_bytes)
@@ -137,7 +153,7 @@ def main():
                 params, hist.counts[n_bytes - 1].tolist()
             ).value
         step = dispatcher_step(
-            len(ws), n_bytes, stable, hist, sorter, xor_scramble
+            len(ws), n_bytes, stable, hist, sorter, scramble
         )
         t = bench_injit(step, tuple(ws) + tuple(ps))
         n = int(ws[0].shape[0])
@@ -178,6 +194,41 @@ def main():
         nz = rkeys.normalize(z)
         wz = [np.asarray(x) for x in nz.words]
         bench_config("c4_zipf_u32_10M", wz, [], 4, stable=False)
+
+    if "6" in run:
+        # config 6: 90%-presorted inputs (struct_sort.rs:43-127 benches
+        # 409k 16-byte structs at 90% presorted). Only the random tail is
+        # rehashed between iterations so the regime persists.
+        ns = 409_600
+        cut = int(ns * 0.9)
+        a16 = rng.integers(0, 2**16, ns).astype(np.uint16)
+        b32 = rng.standard_normal(ns).astype(np.float32)
+        nk6 = rkeys.normalize((a16, b32))
+        w6 = []
+        for x in nk6.words:
+            x = np.asarray(x).copy()
+            w6.append(x)
+        # sort the prefix lexicographically across word planes; force a
+        # descent AT the cut so the measured prefix never extends into
+        # the (rehashed-between-iterations) tail
+        order = np.lexsort([w[:cut] for w in w6][::-1])
+        for w in w6:
+            w[:cut] = w[:cut][order]
+        w6[0][cut] = 0
+        bench_config(
+            "c6_struct_409k_90presorted", w6,
+            [np.arange(ns, dtype=np.uint32)], nk6.n_bytes, stable=False,
+            scramble=suffix_scramble(cut),
+        )
+
+        cut10 = int(n * 0.9)
+        wp = rng.integers(0, 2**32, n, dtype=np.int64).astype(np.uint32)
+        wp[:cut10] = np.sort(wp[:cut10])
+        wp[cut10] = 0
+        bench_config(
+            "c6_u32_10M_90presorted", [wp], [], 4, stable=False,
+            scramble=suffix_scramble(cut10),
+        )
 
 
 if __name__ == "__main__":
