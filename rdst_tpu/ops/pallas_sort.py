@@ -63,6 +63,11 @@ __all__ = ["fused_sort", "fused_sort_available", "MIN_ELEMS"]
 
 #: Below this the direct network wins (crossover measured by probe19).
 MIN_ELEMS = 1 << 21
+#: Maximum next_pow2(n)/n padding ratio: the pipeline pads to a power of
+#: two and its cost scales with the PADDED length, while lax.sort's
+#: non-pow2 penalty is only ~1.3x (BENCH_NOTES round 1) — at 10M
+#: (ratio 1.68) the fused path would lose ~1.4x despite winning at 2^24.
+MAX_PAD_RATIO = 1.13
 #: Phase-0 row length (elements): the batched lax.sort sweet spot is
 #: ~4096-wide rows (probe7: 0.47 ns/el 1-op); log^2 growth makes longer
 #: rows lose, shorter rows shift work into the (cheaper) tail levels.
@@ -284,6 +289,8 @@ def fused_sort_available(
     """
     n = int(words[0].shape[0])
     if n < MIN_ELEMS:
+        return False
+    if _next_pow2(n) > MAX_PAD_RATIO * n:
         return False
     for p in words:
         dt = np.dtype(p.dtype)

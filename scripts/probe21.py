@@ -152,7 +152,7 @@ def b1():
             out_shape=[jax.ShapeDtypeStruct(shaped[0].shape,
                                             shaped[0].dtype)],
         )(*shaped)
-        return (out.reshape(N),)
+        return (out[0].reshape(N),)
     bench("B1 CEIL 1-plane x17", run, ws, stages=17)
 
 
