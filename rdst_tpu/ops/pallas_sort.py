@@ -63,10 +63,10 @@ __all__ = ["fused_sort", "fused_sort_available", "MIN_ELEMS"]
 
 #: Below this the direct network wins (crossover measured by probe19).
 MIN_ELEMS = 1 << 21
-#: Maximum next_pow2(n)/n padding ratio: the pipeline pads to a power of
-#: two and its cost scales with the PADDED length, while lax.sort's
-#: non-pow2 penalty is only ~1.3x (BENCH_NOTES round 1) — at 10M
-#: (ratio 1.68) the fused path would lose ~1.4x despite winning at 2^24.
+#: Maximum next_pow2(n)/n ratio for the pad-to-pow2 path; above it the
+#: piece-decomposition path (pad to a multiple of T/16, sort the binary
+#: decomposition's pieces, virtual-pad bitonic merges — <= 1/15 padding)
+#: replaces padding all the way to the power of two (up to ~2x work).
 MAX_PAD_RATIO = 1.13
 #: Phase-0 row length (elements): the batched lax.sort sweet spot is
 #: ~4096-wide rows (probe7: 0.47 ns/el 1-op); log^2 growth makes longer
@@ -286,11 +286,19 @@ def fused_sort_available(
     every key type to exactly that); payloads any non-bool <= 32-bit
     numeric (floats ride bit-cast).  Total plane count (including the
     stable index plane and a potential pad marker) is VMEM-bounded.
+    Non-power-of-two lengths take the piece-decomposition path (sort
+    power-of-two pieces, then virtual-pad bitonic merges), so no padding
+    ratio gate is needed.
     """
     n = int(words[0].shape[0])
     if n < MIN_ELEMS:
         return False
-    if _next_pow2(n) > MAX_PAD_RATIO * n:
+    if not stable and payloads and _next_pow2(n) != n:
+        # pads + payloads + unstable need the pad-marker key plane; the
+        # extra plane costs more than the direct network's ~1.3x
+        # non-pow2 penalty (measured: c2 unstable 0.232x fused-4-plane
+        # vs 0.297x lax-3-op at 10M).  Stable mode keeps the fused path:
+        # its index plane replaces lax.sort's ~2.2x stability tax.
         return False
     for p in words:
         dt = np.dtype(p.dtype)
@@ -345,7 +353,17 @@ def fused_sort(
             )
 
     T = _next_pow2(n)
-    pad = T - n
+    if T <= MAX_PAD_RATIO * n or T < (1 << 12):
+        total, Q = T, None
+    else:
+        # piece decomposition: pad only to a multiple of the quantum
+        # Q = T/16 (<= 1/15 overhead) instead of to T (up to ~2x), sort
+        # the binary-decomposition pieces, virtual-pad-merge them.
+        Q = T // 16
+        total = -(-n // Q) * Q
+        if total == T:
+            Q = None
+    pad = total - n
     if pad:
         kplanes = [
             jnp.concatenate(
@@ -358,7 +376,7 @@ def fused_sort(
     if stable:
         # strict total order => the unique network output is the stable
         # permutation; doubles as the pad marker (pad indices >= n).
-        planes.append(jnp.arange(T, dtype=jnp.uint32))
+        planes.append(jnp.arange(total, dtype=jnp.uint32))
         n_keys += 1
     elif pad and pplanes:
         # pads must not trade payloads with real all-ones keys
@@ -384,12 +402,44 @@ def fused_sort(
         )
 
     blk = block or _pick_block(len(planes))
-    blk = min(blk, T)
-    m = min(row or ROW, blk // 2)
-    if T < 2 * LANES or m < 2 or blk < 2 * LANES:
+    m = min(row or ROW, min(blk, total) // 2)
+    if total < 2 * LANES or m < 2 or min(blk, total) < 2 * LANES:
         out = jax.lax.sort(tuple(planes), num_keys=n_keys, is_stable=False)
         return finish(out)
 
+    if Q is None:
+        planes = _core(planes, total, n_keys, blk, m, interpret)
+        return finish(planes)
+
+    # piece path: sort each power-of-two piece (odd pieces descending via
+    # key-complement), then fold right-to-left with virtual-pad ascending
+    # bitonic merges — total work scales with M*Q, not next_pow2(n).
+    M = total // Q
+    pieces = []
+    off = 0
+    for bit in range(M.bit_length() - 1, -1, -1):
+        if M & (1 << bit):
+            pieces.append((off, (1 << bit) * Q))
+            off += (1 << bit) * Q
+    acc = _sort_piece(
+        [p[: pieces[0][1]] for p in planes], n_keys, False, blk, m, interpret
+    )
+    la = pieces[0][1]
+    for o, ln in pieces[1:]:
+        pc = _sort_piece(
+            [p[o : o + ln] for p in planes], n_keys, True, blk, m, interpret
+        )
+        acc = [jnp.concatenate([a, b]) for a, b in zip(acc, pc)]
+        la += ln
+        acc = _merge_asc_desc(acc, la, Q, n_keys, blk, interpret)
+    return finish(acc)
+
+
+def _core(planes, T, n_keys, blk, m, interpret):
+    """The power-of-two fused network: phase-0 alternating-direction rows,
+    then parity-masked merge levels (span trips + VMEM tail trips)."""
+    blk = min(blk, T)
+    m = min(m, blk // 2)
     log_m, log_b, log_t = _log2(m), _log2(blk), _log2(T)
 
     # phase 0: alternating-direction chunk rows in one batched sort
@@ -426,5 +476,112 @@ def fused_sort(
         planes = _tail_call(
             planes, T, blk, n_keys, [(log_r + 1, blk // 2)], None, interpret
         )
+    return planes
 
-    return finish(planes)
+
+#: Pieces below this sort via the direct network (the fused crossover,
+#: probe19); pieces at or above it run the power-of-two core.
+MIN_PIECE = 1 << 20
+
+
+def _sort_piece(planes, n_keys, descending, blk, m, interpret):
+    """Sort one power-of-two piece; ``descending`` complements the key
+    planes around an ascending sort (lexicographic order over complements
+    is the exact reverse), producing the desc-run operand the virtual-pad
+    bitonic merge needs WITHOUT any data reversal."""
+    ln = int(planes[0].shape[0])
+    if descending:
+        planes = [~p if j < n_keys else p for j, p in enumerate(planes)]
+    if ln >= MIN_PIECE and min(blk, ln) >= 2 * LANES and m >= 2:
+        out = _core(list(planes), ln, n_keys, blk, m, interpret)
+    else:
+        out = list(
+            jax.lax.sort(tuple(planes), num_keys=n_keys, is_stable=False)
+        )
+    if descending:
+        out = [~p if j < n_keys else p for j, p in enumerate(out)]
+    return out
+
+
+def _stage_ranges(s: int, p: int, nR: int) -> list[tuple[int, int]]:
+    """Active index runs of one virtual-pad merge stage, in REAL coords:
+    ``{j in [0, nR-s) : ((j+p) & s) == 0}`` as maximal [start, end) runs
+    (p = virtual front-pad count, s = stage stride; all python ints)."""
+    out = []
+    x = (p // (2 * s)) * (2 * s)
+    while x < p + nR - s:
+        lo = max(x - p, 0)
+        hi = min(x + s - p, nR - s)
+        if hi > lo:
+            out.append((lo, hi))
+        x += 2 * s
+    return out
+
+
+def _slice_stage(planes, n_keys, s, p, nR):
+    """One ascending compare-exchange stage at stride ``s`` of the
+    virtual-pad merge, as static contiguous slices + minmax + concat —
+    the formulation XLA streams near-bandwidth (unlike interleaved
+    reshape stages, probe12 P5, or axis reversals, probe18c)."""
+    from rdst_tpu.ops.merge import _lex_greater
+
+    ranges = _stage_ranges(s, p, nR)
+    if not ranges:
+        return planes
+    segs = [[] for _ in planes]
+    pos = 0
+    for a, b in ranges:
+        lo = [pl[a:b] for pl in planes]
+        hi = [pl[a + s : b + s] for pl in planes]
+        swap = _lex_greater(lo[:n_keys], hi[:n_keys])
+        for i, pl in enumerate(planes):
+            if pos < a:
+                segs[i].append(pl[pos:a])
+            segs[i].append(jnp.where(swap, hi[i], lo[i]))
+            if b < a + s:
+                segs[i].append(pl[b : a + s])
+            segs[i].append(jnp.where(swap, lo[i], hi[i]))
+        pos = b + s
+    for i, pl in enumerate(planes):
+        if pos < nR:
+            segs[i].append(pl[pos:nR])
+    return [
+        jnp.concatenate(sg) if len(sg) > 1 else sg[0] for sg in segs
+    ]
+
+
+def _merge_asc_desc(planes, nR, Q, n_keys, blk, interpret):
+    """Ascending bitonic merge of [run A asc, run B desc] = ``planes``
+    (total nR, a multiple of the quantum Q; A/B any lengths).
+
+    Correctness: prepend p = next_pow2(nR) - nR VIRTUAL -inf pads; the
+    padded array is bitonic and pads never move under ascending stages
+    (a mixed pair always has the pad at the LOW index), so the classic
+    pow2 merge network restricted to the real region — pairs (j, j+s)
+    active iff ((j+p) & s) == 0 — sorts the real data in place.  Stages
+    with stride >= Q run as XLA slice stages (their active sets are a few
+    contiguous runs); below Q, p and nR are multiples of 2s, the masks
+    reduce to the local pairing, and the existing span/tail kernels
+    finish the job in one or two HBM round trips.
+    """
+    T = _next_pow2(nR)
+    p = T - nR
+    s = T // 2
+    while s >= Q:
+        planes = _slice_stage(planes, n_keys, s, p, nR)
+        s //= 2
+    blk_m = min(blk, Q)
+    log_b = _log2(blk_m)
+    max_span = _log2(max(blk_m // LANES, 2))
+    hi = _log2(Q) - 1
+    while hi >= log_b:
+        lo = max(log_b, hi - max_span + 1)
+        planes = _span_call(
+            planes, nR, 1 << hi, 1 << lo, 2 * T, blk_m, n_keys, interpret
+        )
+        hi = lo - 1
+    start = min(blk_m, Q) // 2
+    planes = _tail_call(
+        planes, nR, blk_m, n_keys, [(_log2(T) + 1, start)], None, interpret
+    )
+    return planes
