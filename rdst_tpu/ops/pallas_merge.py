@@ -42,9 +42,8 @@ from rdst_tpu import config
 __all__ = ["bitonic_merge_fused", "fused_merge_available", "merge_level"]
 
 LANES = 128
-#: phase-B block (elements). 2^17 els -> (1024, 128) per plane in VMEM;
-#: a handful of 32-bit planes plus roll temporaries stay well under the
-#: ~16 MB VMEM budget.
+#: legacy phase-B block reference (elements); production blocks come
+#: from pick_block (plane-count-scaled, probe24).
 BLOCK = 1 << 17
 #: phase-A chunk (elements) — two of these per plane live in VMEM per
 #: grid cell (plus pipeline double-buffering).
@@ -62,6 +61,26 @@ def rev_fast(p: jax.Array) -> jax.Array:
     """
     n = p.shape[0]
     return jax.lax.rev(p.reshape(n // LANES, LANES), (0, 1)).reshape(n)
+
+
+def mosaic_params(grid_rank: int, interpret: bool) -> dict:
+    """``pallas_call`` kwargs marking every grid dimension parallel.
+
+    All kernels in this module and ops/pallas_sort.py write each grid
+    cell's block from that cell alone, so the grid is embarrassingly
+    parallel — but measurement says NOT to tell Mosaic so by default:
+    at the production 4 MB in+out block footprint, parallel semantics
+    REGRESSES the tail level 73% (probe24: 0.086 -> 0.149 ns/el at
+    2^18 x 2 planes), while at half that footprint it was a ~5-13% win
+    (probe23).  Default semantics win at the block sizes pick_block now
+    chooses; RDST_TPU_PARALLEL_GRID=1 re-enables the hint for A/B."""
+    if interpret or os.environ.get("RDST_TPU_PARALLEL_GRID") != "1":
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * grid_rank
+        )
+    }
 
 
 def _roll(p, k, axis):
@@ -163,6 +182,7 @@ def _pallas_stage(planes, n_elems, s, n_keys, interpret):
         out_specs=[spec() for _ in planes],
         out_shape=[jax.ShapeDtypeStruct(p.shape, p.dtype) for p in shaped],
         interpret=interpret,
+        **mosaic_params(2, interpret),
     )(*shaped)
     return [p.reshape(n_elems) for p in out]
 
@@ -192,20 +212,18 @@ def _pallas_tail(planes, n_elems, block, n_keys, interpret):
         out_specs=[spec() for _ in planes],
         out_shape=[jax.ShapeDtypeStruct(p.shape, p.dtype) for p in shaped],
         interpret=interpret,
+        **mosaic_params(1, interpret),
     )(*shaped)
     return [p.reshape(n_elems) for p in out]
 
 
 def pick_block(n_planes: int) -> int:
-    """VMEM-resident block (elements) scaled to the plane count so in/out
-    buffers plus per-stage roll temporaries stay inside the ~16 MB VMEM
-    budget (round-2 advisor finding: an unbounded plane count at a fixed
-    2^17 block can fail Mosaic compile)."""
-    if n_planes <= 2:
-        return BLOCK  # 512 KB/plane/buffer
-    if n_planes <= 4:
-        return BLOCK // 2
-    return BLOCK // 4
+    """VMEM-resident block (elements): largest block with <= 2 MB of
+    32-bit plane bytes per buffer (4 MB in+out; the next doubling fails
+    Mosaic compile, and per-stage cost DROPS with depth until then —
+    probe24: 18-stage 2-plane level 0.086 ns/el at 2^18 vs 0.126 at
+    2^17, 19-stage 1-plane level 0.028 at 2^19)."""
+    return (1 << 19) >> max(0, (n_planes - 1).bit_length())
 
 
 def fused_merge_available(

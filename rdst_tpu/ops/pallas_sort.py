@@ -57,7 +57,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from rdst_tpu import config
-from rdst_tpu.ops.pallas_merge import LANES, _lex_gt, _roll
+from rdst_tpu.ops.pallas_merge import LANES, _lex_gt, _roll, mosaic_params
 
 __all__ = ["fused_sort", "fused_sort_available", "MIN_ELEMS"]
 
@@ -85,28 +85,40 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
-def _pick_block(n_planes: int) -> int:
-    """VMEM-resident block (elements) scaled so in+out buffers plus the
-    per-stage roll temporaries of all planes stay inside the ~16 MB VMEM
-    budget (the round-2 advisor finding: never admit unbounded plane
-    counts at a fixed block)."""
-    if n_planes <= 2:
-        return 1 << 17  # 512 KB/plane/buffer
-    if n_planes <= 4:
-        return 1 << 16
-    return 1 << 15
+def _pick_blocks(n_planes: int) -> tuple[int, int]:
+    """(small, big) VMEM-resident blocks (elements).
+
+    ``big`` is used by SINGLE-level tail sweeps and span cells: the
+    largest block with <= 2 MB of 32-bit plane bytes per buffer.
+    Measured (probe24): per-stage cost DROPS with depth — an 18-stage
+    level at 2^18 x 2 planes costs 0.086 ns/el vs 0.126 at 2^17 and a
+    19-stage 1-plane level at 2^19 costs 0.028 — and every level whose
+    run fits in ``big`` needs NO span sweep at all.  The next doubling
+    (8 MB in+out) fails Mosaic compile.
+
+    ``small`` is used by MULTI-level kernels (trip-1 / vmem phase-0),
+    whose longer stage programs need scoped-vmem stack on top of the
+    buffers: the doubled sizes there exceed the 16 MB scoped limit
+    (measured: trip-1 at 2^19 x 1 plane wants 29.8 MB).  These are the
+    production-proven round-2 sizes."""
+    big = (1 << 19) >> max(0, (n_planes - 1).bit_length())
+    small = big >> (2 if n_planes == 1 else 1)
+    return small, big
 
 
-def _dir_stage(v, n_keys, k, axis, desc):
-    """One compare-exchange stage at distance ``k`` along ``axis`` of 2D
-    planes, with per-element (or scalar) direction ``desc`` (False =
-    ascending pair: min to the low index).
+def _dir_stage(v, n_keys, k, axis):
+    """One ASCENDING compare-exchange stage at distance ``k`` along
+    ``axis`` of 2D planes (min of each pair to the low index).
 
-    ``desc`` must be uniform within each pair — guaranteed because a
-    stage at element stride s only pairs elements within one output run
-    (s <= R < 2R).  Tie pairs swap when desc is set (lex_gt is strict);
-    that is a reorder of equal full tuples in the unstable case and
-    impossible in the stable case (the index plane makes keys distinct).
+    Descending runs are expressed by complementing the key planes around
+    the ascending stages (``_flip_keys``) instead of XORing a direction
+    mask into the compare: the mask form costs 2 extra vector ops PER
+    STAGE plus their scoped-VMEM live buffers (measured: a scalar-desc
+    18-stage level is 0.140-0.157 ns/el vs 0.086 for the pure-ascending
+    program, and the mask buffers tip the big block past the 16 MB
+    scoped-vmem compile limit), while a complement is 2 selects per
+    LEVEL.  Tie pairs never swap (lex_gt is strict, and gt over
+    complements equals lt exactly, ties included).
     """
     shape = v[0].shape
     iota = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
@@ -118,23 +130,37 @@ def _dir_stage(v, n_keys, k, axis, desc):
     # cheaper, but Mosaic has no i1-vector roll lowering (measured:
     # remote-compile HTTP 500), so each half recomputes its strict
     # compare — consistent on ties because lex_gt is strict.
-    take_up = low & (_lex_gt(v[:n_keys], up[:n_keys]) ^ desc)
-    take_dn = (~low) & (_lex_gt(dn[:n_keys], v[:n_keys]) ^ desc)
+    take_up = low & _lex_gt(v[:n_keys], up[:n_keys])
+    take_dn = (~low) & _lex_gt(dn[:n_keys], v[:n_keys])
     return [
         jnp.where(take_up, u, jnp.where(take_dn, d_, p))
         for p, u, d_ in zip(v, up, dn)
     ]
 
 
-def _level_stages(v, n_keys, start_stride, desc):
-    """All stages of one merge level from element stride ``start_stride``
-    down to 1 on a VMEM-resident (rows, LANES) view."""
+def _flip_keys(v, n_keys, mask):
+    """Complement the key planes where ``mask`` (scalar or per-element)
+    is set.  An ascending merge of complemented keys IS the descending
+    merge of the originals (lexicographic order over complements is the
+    exact reverse, strict-tie behavior included); payload planes follow
+    the same swaps either way.  ``mask`` must be uniform within each
+    compare pair — guaranteed because a stage at element stride s only
+    pairs elements within one output run (s <= R < 2R)."""
+    return [
+        jnp.where(mask, ~p, p) if j < n_keys else p
+        for j, p in enumerate(v)
+    ]
+
+
+def _level_stages(v, n_keys, start_stride):
+    """All ascending stages of one merge level from element stride
+    ``start_stride`` down to 1 on a VMEM-resident (rows, LANES) view."""
     s = start_stride
     while s >= LANES:
-        v = _dir_stage(v, n_keys, s // LANES, 0, desc)
+        v = _dir_stage(v, n_keys, s // LANES, 0)
         s //= 2
     while s >= 1:
-        v = _dir_stage(v, n_keys, s, 1, desc)
+        v = _dir_stage(v, n_keys, s, 1)
         s //= 2
     return v
 
@@ -154,13 +180,21 @@ def _tail_kernel(*refs, n_keys, block, levels, unflip_shift):
     v = [r[0] for r in ins]  # (rows, LANES)
     rows = block // LANES
     i = pl.program_id(0)
-    e = (
-        jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-    )
+
+    def elem_idx():
+        # only materialized when a mask actually needs per-element
+        # indices: the (rows, LANES) iota plus its derived masks cost
+        # real scoped VMEM, and the common single-level tail sweep
+        # (scalar block parity, no un-flip) fits the 16 MB scoped
+        # budget at the big block ONLY without them.
+        return (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+        )
+
     log_block = _log2(block)
     if unflip_shift is not None:
-        flip = (((i * block + e) >> unflip_shift) & 1) == 1
+        flip = (((i * block + elem_idx()) >> unflip_shift) & 1) == 1
         v = [
             jnp.where(flip, ~p, p) if j < n_keys else p
             for j, p in enumerate(v)
@@ -170,8 +204,10 @@ def _tail_kernel(*refs, n_keys, block, levels, unflip_shift):
             # whole block inside one output run: scalar parity
             desc = ((i >> (log_2r - log_block)) & 1) == 1
         else:
-            desc = (((i * block + e) >> log_2r) & 1) == 1
-        v = _level_stages(v, n_keys, start, desc)
+            desc = (((i * block + elem_idx()) >> log_2r) & 1) == 1
+        v = _flip_keys(v, n_keys, desc)
+        v = _level_stages(v, n_keys, start)
+        v = _flip_keys(v, n_keys, desc)
     for p, o in zip(v, outs):
         o[0] = p
 
@@ -194,6 +230,7 @@ def _tail_call(planes, n, block, n_keys, levels, unflip_shift, interpret):
         out_specs=[spec() for _ in planes],
         out_shape=[jax.ShapeDtypeStruct(p.shape, p.dtype) for p in shaped],
         interpret=interpret,
+        **mosaic_params(1, interpret),
     )(*shaped)
     return [p.reshape(n) for p in out]
 
@@ -215,10 +252,12 @@ def _span_kernel(*refs, n_keys, n_stages, w_rows, log_ratio):
     desc = ((a >> log_ratio) & 1) == 1
     p_dim = ins[0].shape[1]
     v = [r[0, :, 0].reshape(p_dim * w_rows, LANES) for r in ins]
+    v = _flip_keys(v, n_keys, desc)
     k = (p_dim // 2) * w_rows
     for _ in range(n_stages):
-        v = _dir_stage(v, n_keys, k, 0, desc)
+        v = _dir_stage(v, n_keys, k, 0)
         k //= 2
+    v = _flip_keys(v, n_keys, desc)
     for p, o in zip(v, outs):
         o[0, :, 0] = p.reshape(p_dim, w_rows, LANES)
 
@@ -248,6 +287,7 @@ def _span_call(planes, n, s_hi, s_lo, two_r, block, n_keys, interpret):
         out_specs=[spec() for _ in planes],
         out_shape=[jax.ShapeDtypeStruct(p.shape, p.dtype) for p in shaped],
         interpret=interpret,
+        **mosaic_params(2, interpret),
     )(*shaped)
     return [p.reshape(n) for p in out]
 
@@ -322,6 +362,22 @@ def fused_sort_available(
     return config.on_tpu() and not config.pallas_interpret()
 
 
+def _phase0_mode(phase0: str) -> str:
+    """Resolve the phase-0 strategy: ``net`` = alternating-direction
+    batched ``lax.sort`` rows + a trip-1 merge tail; ``vmem`` = sort each
+    VMEM block end-to-end inside ONE tail-kernel sweep (the full
+    parity-masked bitonic network, levels 1..log2(block)) — the in-VMEM
+    block sort of the round-2 verdict, viable once probe24's deep blocks
+    made in-kernel stages cheaper than the batched network's
+    (RDST_TPU_VMEM_PHASE0 overrides; measured A/B in BENCH_NOTES)."""
+    if phase0 != "auto":
+        return phase0
+    env = os.environ.get("RDST_TPU_VMEM_PHASE0")
+    if env is not None:
+        return "vmem" if env == "1" else "net"
+    return "net"
+
+
 def fused_sort(
     words: Sequence[jax.Array],
     payloads: Sequence[jax.Array] = (),
@@ -329,6 +385,7 @@ def fused_sort(
     stable: bool = False,
     row: int | None = None,
     block: int | None = None,
+    phase0: str = "auto",
 ) -> tuple[list[jax.Array], list[jax.Array]]:
     """Sort key word planes (most significant first) + payload planes.
 
@@ -401,14 +458,19 @@ def fused_sort(
             [r(p) for p, (_, r) in zip(out[nk:], wp)],
         )
 
-    blk = block or _pick_block(len(planes))
-    m = min(row or ROW, min(blk, total) // 2)
-    if total < 2 * LANES or m < 2 or min(blk, total) < 2 * LANES:
+    if block is not None:
+        blk_s, blk_b = block, block * (4 if len(planes) == 1 else 2)
+    else:
+        blk_s, blk_b = _pick_blocks(len(planes))
+    m = min(row or ROW, min(blk_s, total) // 2)
+    if total < 2 * LANES or m < 2 or min(blk_s, total) < 2 * LANES:
         out = jax.lax.sort(tuple(planes), num_keys=n_keys, is_stable=False)
         return finish(out)
+    p0 = _phase0_mode(phase0)
 
     if Q is None:
-        planes = _core(planes, total, n_keys, blk, m, interpret)
+        planes = _core(planes, total, n_keys, blk_s, blk_b, m, interpret,
+                       p0)
         return finish(planes)
 
     # piece path: sort each power-of-two piece (odd pieces descending via
@@ -422,59 +484,81 @@ def fused_sort(
             pieces.append((off, (1 << bit) * Q))
             off += (1 << bit) * Q
     acc = _sort_piece(
-        [p[: pieces[0][1]] for p in planes], n_keys, False, blk, m, interpret
+        [p[: pieces[0][1]] for p in planes], n_keys, False, blk_s, blk_b,
+        m, interpret, p0,
     )
     la = pieces[0][1]
     for o, ln in pieces[1:]:
         pc = _sort_piece(
-            [p[o : o + ln] for p in planes], n_keys, True, blk, m, interpret
+            [p[o : o + ln] for p in planes], n_keys, True, blk_s, blk_b,
+            m, interpret, p0,
         )
         acc = [jnp.concatenate([a, b]) for a, b in zip(acc, pc)]
         la += ln
-        acc = _merge_asc_desc(acc, la, Q, n_keys, blk, interpret)
+        acc = _merge_asc_desc(acc, la, Q, n_keys, blk_b, interpret)
     return finish(acc)
 
 
-def _core(planes, T, n_keys, blk, m, interpret):
-    """The power-of-two fused network: phase-0 alternating-direction rows,
-    then parity-masked merge levels (span trips + VMEM tail trips)."""
-    blk = min(blk, T)
-    m = min(m, blk // 2)
-    log_m, log_b, log_t = _log2(m), _log2(blk), _log2(T)
-
-    # phase 0: alternating-direction chunk rows in one batched sort
-    gid = jnp.arange(T, dtype=jnp.uint32)
-    flip = ((gid >> np.uint32(log_m)) & np.uint32(1)) == 1
-    planes = [
-        jnp.where(flip, ~p, p) if j < n_keys else p
-        for j, p in enumerate(planes)
-    ]
-    rows2 = [p.reshape(T // m, m) for p in planes]
-    srt = jax.lax.sort(tuple(rows2), dimension=1, num_keys=n_keys,
-                       is_stable=False)
-    planes = [p.reshape(T) for p in srt]
-
-    # trip 1: un-flip + all levels up to run length == block, in VMEM
-    levels = [(l2r, 1 << (l2r - 1)) for l2r in range(log_m + 1, log_b + 1)]
-    planes = _tail_call(
-        planes, T, blk, n_keys, levels, unflip_shift=log_m,
-        interpret=interpret,
+def _core(planes, T, n_keys, blk_s, blk_b, m, interpret, phase0="net"):
+    """The power-of-two fused network: phase-0 sorted ``blk_s`` blocks
+    (batched ``lax.sort`` rows + trip-1 merge tail, or one full in-VMEM
+    network), then parity-masked merge levels.  Levels whose run fits in
+    ``blk_b`` are ONE single-level tail sweep (no span); larger levels
+    take span trip(s) for strides >= blk_b plus one tail sweep."""
+    blk_s = min(blk_s, T)
+    blk_b = min(blk_b, T)
+    m = min(m, blk_s // 2)
+    log_m, log_bs, log_bb, log_t = (
+        _log2(m), _log2(blk_s), _log2(blk_b), _log2(T),
     )
 
-    # levels above the block: span trip(s) for strides R..block, then one
-    # tail trip for the in-block strides
-    max_span = _log2(blk // LANES)
-    for log_r in range(log_b, log_t):
+    if phase0 == "vmem":
+        # the full bitonic network of every level up to the block, inside
+        # ONE kernel sweep; block parity (scalar, from program_id) makes
+        # the blocks come out alternating asc/desc with no key flipping
+        levels = [(l2r, 1 << (l2r - 1)) for l2r in range(1, log_bs + 1)]
+        planes = _tail_call(
+            planes, T, blk_s, n_keys, levels, unflip_shift=None,
+            interpret=interpret,
+        )
+    else:
+        # phase 0: alternating-direction chunk rows in one batched sort
+        gid = jnp.arange(T, dtype=jnp.uint32)
+        flip = ((gid >> np.uint32(log_m)) & np.uint32(1)) == 1
+        planes = [
+            jnp.where(flip, ~p, p) if j < n_keys else p
+            for j, p in enumerate(planes)
+        ]
+        rows2 = [p.reshape(T // m, m) for p in planes]
+        srt = jax.lax.sort(tuple(rows2), dimension=1, num_keys=n_keys,
+                           is_stable=False)
+        planes = [p.reshape(T) for p in srt]
+
+        # trip 1: un-flip + all levels up to run length == blk_s, in VMEM
+        levels = [
+            (l2r, 1 << (l2r - 1)) for l2r in range(log_m + 1, log_bs + 1)
+        ]
+        planes = _tail_call(
+            planes, T, blk_s, n_keys, levels, unflip_shift=log_m,
+            interpret=interpret,
+        )
+
+    # levels above blk_s: span trip(s) for strides R..blk_b (none when
+    # the run fits in blk_b), then ONE single-level tail sweep at blk_b
+    max_span = _log2(blk_b // LANES)
+    for log_r in range(log_bs, log_t):
         two_r = 1 << (log_r + 1)
         hi = log_r
-        while hi >= log_b:
-            lo = max(log_b, hi - max_span + 1)
+        while hi >= log_bb:
+            lo = max(log_bb, hi - max_span + 1)
             planes = _span_call(
-                planes, T, 1 << hi, 1 << lo, two_r, blk, n_keys, interpret
+                planes, T, 1 << hi, 1 << lo, two_r, blk_b, n_keys,
+                interpret,
             )
             hi = lo - 1
         planes = _tail_call(
-            planes, T, blk, n_keys, [(log_r + 1, blk // 2)], None, interpret
+            planes, T, blk_b, n_keys,
+            [(log_r + 1, min(blk_b // 2, 1 << log_r))], None, interpret,
         )
     return planes
 
@@ -484,7 +568,8 @@ def _core(planes, T, n_keys, blk, m, interpret):
 MIN_PIECE = 1 << 20
 
 
-def _sort_piece(planes, n_keys, descending, blk, m, interpret):
+def _sort_piece(planes, n_keys, descending, blk_s, blk_b, m, interpret,
+                phase0="net"):
     """Sort one power-of-two piece; ``descending`` complements the key
     planes around an ascending sort (lexicographic order over complements
     is the exact reverse), producing the desc-run operand the virtual-pad
@@ -492,8 +577,9 @@ def _sort_piece(planes, n_keys, descending, blk, m, interpret):
     ln = int(planes[0].shape[0])
     if descending:
         planes = [~p if j < n_keys else p for j, p in enumerate(planes)]
-    if ln >= MIN_PIECE and min(blk, ln) >= 2 * LANES and m >= 2:
-        out = _core(list(planes), ln, n_keys, blk, m, interpret)
+    if ln >= MIN_PIECE and min(blk_s, ln) >= 2 * LANES and m >= 2:
+        out = _core(list(planes), ln, n_keys, blk_s, blk_b, m, interpret,
+                    phase0)
     else:
         out = list(
             jax.lax.sort(tuple(planes), num_keys=n_keys, is_stable=False)

@@ -87,9 +87,9 @@ def _ten_stages(v, n_keys):
     """Strides 512..128 on the sublane axis (rows 4, 2, 1), then 64..1 on
     the lane axis — all within one (8, 128) vreg when rows == 8."""
     for k in (4, 2, 1):
-        v = _dir_stage(v, n_keys, k, 0, False)
+        v = _dir_stage(v, n_keys, k, 0)
     for k in (64, 32, 16, 8, 4, 2, 1):
-        v = _dir_stage(v, n_keys, k, 1, False)
+        v = _dir_stage(v, n_keys, k, 1)
     return v
 
 
@@ -177,7 +177,7 @@ def _one_stage_kernel(*refs, n_keys):
     half = len(refs) // 2
     ins, outs = refs[:half], refs[half:]
     v = [r[0] for r in ins]
-    v = _dir_stage(v, n_keys, ROWS // 2, 0, False)
+    v = _dir_stage(v, n_keys, ROWS // 2, 0)
     for p, o in zip(v, outs):
         o[0] = p
 
