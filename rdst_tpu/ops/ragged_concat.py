@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rdst_tpu.ops.prefix import exclusive_prefix_sum
+
 __all__ = ["ragged_concat_rows", "ragged_concat_multi"]
 
 
@@ -64,7 +66,7 @@ def ragged_concat_multi(
         return outs
     B, cap = planes[0].shape
     lengths = lengths.astype(jnp.int32)
-    offsets = jnp.cumsum(lengths) - lengths
+    offsets = exclusive_prefix_sum(lengths)
     pos = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
 
     outs = tuple(

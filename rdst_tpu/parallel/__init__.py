@@ -3,6 +3,8 @@ from rdst_tpu.parallel.shuffle import (
     partition_exchange,
     gather_valid,
     make_mesh,
+    make_mesh_2d,
+    init_distributed,
 )
 from rdst_tpu.parallel.dtable import (
     distributed_sort_table,
@@ -16,6 +18,8 @@ __all__ = [
     "partition_exchange",
     "gather_valid",
     "make_mesh",
+    "make_mesh_2d",
+    "init_distributed",
     "distributed_sort_table",
     "distributed_filter",
     "distributed_group_aggregate",

@@ -74,6 +74,7 @@ def distributed_sort_table(
     axis: str = "shard",
     capacity_factor: float = 2.0,
     stable: bool = True,
+    overlap_exchange: bool = False,
 ):
     """Global ORDER BY over the mesh. Returns (Table of D*capacity rows in
     device-major order, per-device valid counts)."""
@@ -85,6 +86,7 @@ def distributed_sort_table(
         axis=axis,
         capacity_factor=capacity_factor,
         stable=stable,
+        overlap_exchange=overlap_exchange,
     )
     cols = _decode_table(by, nk, other, enc, words, payloads)
     ordered = {c: cols[c] for c in table.column_names}
@@ -339,6 +341,7 @@ def distributed_group_aggregate(
     mesh: Mesh,
     axis: str = "shard",
     capacity_factor: float = 2.0,
+    overlap_exchange: bool = False,
 ):
     """Shuffle-then-local GROUP BY, finished entirely inside the mesh.
 
@@ -369,6 +372,7 @@ def distributed_group_aggregate(
     words, payloads, counts = distributed_sort(
         list(nk.words), payload_words, mesh=mesh, axis=axis,
         capacity_factor=capacity_factor, stable=True,
+        overlap_exchange=overlap_exchange,
     )
     cnts = np.asarray(counts)
     D = cnts.shape[0]
@@ -553,6 +557,7 @@ def distributed_join(
     capacity_factor: float = 2.0,
     right_capacity_factor: float | None = None,
     join_capacity_factor: float = 1.0,
+    overlap_exchange: bool = False,
 ):
     """Distributed sort-merge equi-join, finished entirely inside the mesh
     (duplicate right keys expand for ``how="inner"``; ``how="left"`` takes
@@ -582,6 +587,7 @@ def distributed_join(
         list(nk.words), payload_words, mesh=mesh, axis=axis,
         capacity_factor=capacity_factor, stable=True,
         split_uniform=False, return_partition=True,
+        overlap_exchange=overlap_exchange,
     )
 
     rby, rnk, rother, renc, rpayload_words = _encode_table(right, on_list)
@@ -592,6 +598,7 @@ def distributed_join(
     rwords, rpayloads, rcounts = partition_exchange(
         list(rnk.words), rpayload_words, part, mesh=mesh, axis=axis,
         capacity_factor=right_capacity_factor, stable=True,
+        overlap_exchange=overlap_exchange,
     )
 
     D = mesh.devices.size

@@ -38,7 +38,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["distributed_sort", "partition_exchange", "make_mesh"]
+from rdst_tpu.ops.prefix import exclusive_prefix_sum
+
+__all__ = [
+    "distributed_sort", "partition_exchange", "make_mesh", "make_mesh_2d",
+    "init_distributed",
+]
 
 #: Partition granularity: top 16 bits. The reference's MSB level is one
 #: byte (sorter.rs:106-119); two bytes gives 256x finer bucket->device
@@ -59,6 +64,48 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
+
+
+def make_mesh_2d(
+    n_hosts: int,
+    chips_per_host: int,
+    axes: tuple[str, str] = ("host", "chip"),
+) -> Mesh:
+    """Two-axis mesh: ``axes[0]`` spans hosts (DCN), ``axes[1]`` chips
+    within a host (ICI) — SURVEY.md §2.3's backend split.  On a real
+    multi-host pod ``jax.devices()`` enumerates process-major, so the
+    row-major (H, C) reshape puts each host's chips on one ``chip`` row;
+    on a single host (or the virtual CPU mesh) the same shape exercises
+    the hierarchical exchange code paths."""
+    devs = jax.devices()[: n_hosts * chips_per_host]
+    if len(devs) < n_hosts * chips_per_host:
+        raise ValueError(
+            f"need {n_hosts * chips_per_host} devices, have {len(devs)}"
+        )
+    return Mesh(np.array(devs).reshape(n_hosts, chips_per_host), axes)
+
+
+def init_distributed(**kwargs) -> None:
+    """Multi-process entry point: initialize the JAX distributed runtime
+    (one process per host; coordinator/process env discovery per
+    ``jax.distributed.initialize``).  Call once before building meshes on
+    a multi-host pod slice; a no-op when already initialized."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e):
+            raise
+
+
+def _flat_index(axis) -> jax.Array:
+    """Flat device rank along ``axis`` (host-major for a (host, chip)
+    tuple — the order all_gather concatenates and P(axis) shards)."""
+    if isinstance(axis, tuple):
+        ha, ca = axis
+        return jax.lax.axis_index(ha) * jax.lax.psum(1, ca) + (
+            jax.lax.axis_index(ca)
+        )
+    return jax.lax.axis_index(axis)
 
 
 def _bit_length(x: jax.Array) -> jax.Array:
@@ -138,7 +185,7 @@ def _local_shard_body(
     """shard_map body. arrs = word planes + payload planes, local shards."""
     words_and_payloads = list(arrs)
     D = jax.lax.psum(1, axis)
-    me = jax.lax.axis_index(axis)
+    me = _flat_index(axis)
     n_local = words_and_payloads[0].shape[0]
 
     # 1. local stable sort by full key (payloads ride along)
@@ -260,6 +307,88 @@ def _local_shard_body(
     return outs
 
 
+def _hier_exchange_and_finish(
+    planes, n_keys, input_offsets, send_sizes, capacity, stable,
+    use_ragged, axes, n_local,
+):
+    """Two-stage hierarchical exchange over a (host, chip) mesh.
+
+    The flat destination order is host-major, so each destination HOST's
+    send data is one contiguous block: stage 1 moves host blocks along
+    the host (DCN) axis between same-index chips — every DCN message is
+    a single contiguous per-host block, the layout SURVEY §2.3 prescribes
+    for the cross-slice hop.  Stage 2 regroups locally by destination
+    chip (a stable route sort) and exchanges along the chip (ICI) axis.
+
+    Exactness under rank-splitting: the flat destination of every element
+    is computed ONCE on the source device (a searchsorted staircase over
+    the send boundaries) and carried as a rider plane, so single-key
+    buckets split by stable rank route identically to the 1-axis path.
+    Stability: the two-stage exchange delivers ties in (source-chip,
+    source-host) order rather than flat source order, so stable mode
+    carries a source-device plane and the final sort tiebreaks on it
+    (each source's internal order survives every stage — all interchanges
+    are segment-order-preserving and the route sort is stable).
+    """
+    host_ax, chip_ax = axes
+    H = jax.lax.psum(1, host_ax)
+    C = jax.lax.psum(1, chip_ax)
+    h_me = jax.lax.axis_index(host_ax)
+    c_me = jax.lax.axis_index(chip_ax)
+    me = h_me * C + c_me
+
+    # per-element flat destination (staircase over segment ends)
+    ends = (input_offsets + send_sizes).astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_local,), 0)
+    dest = jnp.searchsorted(ends, iota, side="right").astype(jnp.uint32)
+    ex_planes = list(planes) + [dest]
+    if stable:
+        ex_planes.append(jnp.full((n_local,), me, jnp.uint32))
+
+    # stage 1: host-contiguous blocks along the DCN axis
+    hs_sizes = jnp.sum(send_sizes.reshape(H, C), axis=1)
+    hs_offsets = input_offsets.reshape(H, C)[:, 0]
+    p1, valid1, n1 = _exchange_raw(
+        ex_planes, hs_offsets, hs_sizes, capacity, use_ragged, host_ax, H,
+        h_me, n_local,
+    )
+
+    # stage 2: regroup by destination chip (pads route to C, sort last)
+    dest1 = p1[len(planes)]
+    route = jnp.where(
+        valid1, dest1 % jnp.uint32(jnp.maximum(C, 1)), jnp.uint32(C)
+    )
+    srt = jax.lax.sort(
+        tuple([route] + p1), num_keys=1, is_stable=True
+    )
+    routed = list(srt[1:])
+    bounds = jnp.searchsorted(
+        srt[0], jnp.arange(C + 1, dtype=jnp.uint32), side="left"
+    ).astype(jnp.int32)
+    # routed length is capacity (ragged) or H*capacity (dense emulation)
+    p2, valid2, n2 = _exchange_raw(
+        routed, bounds[:-1], bounds[1:] - bounds[:-1], capacity,
+        use_ragged, chip_ax, C, c_me, routed[0].shape[0],
+    )
+
+    out = p2[: len(planes)]
+    if stable:
+        # source plane follows the keys in compare order; riders after
+        src = p2[len(planes) + 1]
+        sort_planes = out[:n_keys] + [src] + out[n_keys:]
+        finished = _finish_sort(
+            sort_planes, valid2, n_keys + 1, capacity, True
+        )
+        finished = finished[:n_keys] + finished[n_keys + 1 :]
+    else:
+        finished = _finish_sort(out, valid2, n_keys, capacity, False)
+    # the reported count is the FINAL receive count (n2); a stage-1
+    # intermediate overflow (n1 > capacity: rows were dropped) poisons it
+    # past capacity so gather_valid raises the OverflowError signal
+    n_valid = jnp.where(n1 > capacity, jnp.maximum(n1, n2), n2)
+    return finished, n_valid
+
+
 def _exchange_and_finish(
     planes, n_keys, input_offsets, send_sizes, capacity, stable,
     use_ragged, axis, D, me, n_local, overlap=False,
@@ -269,7 +398,8 @@ def _exchange_and_finish(
     ``planes``: locally key-sorted word+payload planes; segment for
     destination d is ``[input_offsets[d], input_offsets[d]+send_sizes[d])``.
     Returns (capacity-sized planes in sorted order with PAD_WORD tails,
-    received-row count).
+    received-row count).  A tuple ``axis`` routes to the two-stage
+    hierarchical (host, chip) exchange.
 
     ``overlap=True`` runs the exchange in TWO phases split by SENDER half
     (devices < D/2 send in phase 1, the rest in phase 2) and finishes
@@ -283,6 +413,11 @@ def _exchange_and_finish(
     Single-chip semantics are identical to the sequential path (parity
     pinned by tests/test_exchange_parity.py).
     """
+    if isinstance(axis, tuple):
+        return _hier_exchange_and_finish(
+            planes, n_keys, input_offsets, send_sizes, capacity, stable,
+            use_ragged, axis, n_local,
+        )
     if overlap and D > 1:
         half = D // 2
         sizes1 = jnp.where(me < half, send_sizes, 0)
@@ -392,7 +527,7 @@ def _exchange_raw(
             )
             out_planes.append(out)
         # valid positions are per-sender segments in the output buffer
-        recv_offsets = jnp.cumsum(recv_sizes) - recv_sizes
+        recv_offsets = exclusive_prefix_sum(recv_sizes)
         pos = jax.lax.broadcasted_iota(jnp.int32, (D, capacity), 1)
         seg_valid = (pos >= recv_offsets[:, None]) & (
             pos < (recv_offsets + recv_sizes)[:, None]
@@ -457,6 +592,7 @@ def _partition_body(
     capacity: int,
     stable: bool,
     use_ragged: bool,
+    overlap: bool,
     gmins,
     wshifts,
     wbits,
@@ -468,7 +604,7 @@ def _partition_body(
     freshly balanced one."""
     planes = list(arrs)
     D = jax.lax.psum(1, axis)
-    me = jax.lax.axis_index(axis)
+    me = _flat_index(axis)
     n_local = planes[0].shape[0]
     n_keys = n_key_words
     buckets0 = _apply_window(planes[:n_keys], gmins, wshifts, wbits)
@@ -487,7 +623,7 @@ def _partition_body(
     input_offsets = boundary[:-1]
     out_planes, n_valid = _exchange_and_finish(
         planes_sorted, n_keys, input_offsets, send_sizes, capacity, stable,
-        use_ragged, axis, D, me, n_local,
+        use_ragged, axis, D, me, n_local, overlap=overlap,
     )
     return tuple(out_planes) + (n_valid[None],)
 
@@ -495,15 +631,17 @@ def _partition_body(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "axis", "n_key_words", "capacity", "stable", "use_ragged"
+        "mesh", "axis", "n_key_words", "capacity", "stable", "use_ragged",
+        "overlap",
     ),
 )
 def _partition_exchange_jit(
     arrs, partition, mesh: Mesh, axis: str, n_key_words: int,
-    capacity: int, stable: bool, use_ragged: bool,
+    capacity: int, stable: bool, use_ragged: bool, overlap: bool = False,
 ):
     body = functools.partial(
-        _partition_body, axis, n_key_words, capacity, stable, use_ragged
+        _partition_body, axis, n_key_words, capacity, stable, use_ragged,
+        overlap,
     )
     n_arr = len(arrs)
     fn = jax.shard_map(
@@ -527,6 +665,7 @@ def partition_exchange(
     capacity_factor: float = 2.0,
     stable: bool = False,
     use_ragged: bool | None = None,
+    overlap_exchange: bool = False,
 ):
     """Route rows to devices by an EXISTING partition (co-partitioning).
 
@@ -542,6 +681,12 @@ def partition_exchange(
 
     Same return convention as :func:`distributed_sort`.
     """
+    if isinstance(axis, (tuple, list)):
+        axis = tuple(axis)
+        if overlap_exchange:
+            raise NotImplementedError(
+                "overlap_exchange applies to the 1-axis exchange"
+            )
     D = mesh.devices.size
     n = int(words[0].shape[0])
     if n % D != 0:
@@ -555,7 +700,7 @@ def partition_exchange(
         use_ragged = jax.default_backend() == "tpu"
     out, counts = _partition_exchange_jit(
         arrs, tuple(partition), mesh, axis, len(words), capacity, stable,
-        use_ragged,
+        use_ragged, overlap=overlap_exchange,
     )
     k = len(words)
     return list(out[:k]), list(out[k:]), counts
@@ -590,7 +735,18 @@ def distributed_sort(
     ``overlap_exchange=True`` pipelines the all-to-all in two sender-half
     phases so the first half's local sort hides under the second half's
     collective (see _exchange_and_finish) — bitwise-identical output.
+
+    A 2-axis mesh (``make_mesh_2d``) with ``axis=mesh.axis_names`` runs
+    the hierarchical (host, chip) exchange: contiguous per-host blocks
+    over DCN, then an intra-host ICI regroup (_hier_exchange_and_finish).
     """
+    if isinstance(axis, (tuple, list)):
+        axis = tuple(axis)
+        if overlap_exchange:
+            raise NotImplementedError(
+                "overlap_exchange applies to the 1-axis exchange; the "
+                "hierarchical path already pipelines its two stages"
+            )
     D = mesh.devices.size
     n = int(words[0].shape[0])
     if n % D != 0:

@@ -113,10 +113,10 @@ def _v0_kernel(*refs, n_keys):
     v = [r[0] for r in ins]
     s = BLOCK // 2
     while s >= LANES:
-        v = _dir_stage(v, n_keys, s // LANES, 0, False)
+        v = _dir_stage(v, n_keys, s // LANES, 0)
         s //= 2
     while s >= 1:
-        v = _dir_stage(v, n_keys, s, 1, False)
+        v = _dir_stage(v, n_keys, s, 1)
         s //= 2
     for p, o in zip(v, outs):
         o[0] = p
@@ -132,10 +132,10 @@ def _v1_kernel(*refs, n_keys):
         if k >= 8:
             v = _pair_stage_rows(v, n_keys, k, False)
         else:
-            v = _dir_stage(v, n_keys, k, 0, False)
+            v = _dir_stage(v, n_keys, k, 0)
         s //= 2
     while s >= 1:
-        v = _dir_stage(v, n_keys, s, 1, False)
+        v = _dir_stage(v, n_keys, s, 1)
         s //= 2
     for p, o in zip(v, outs):
         o[0] = p
@@ -163,7 +163,7 @@ def _v2_kernel(*refs, n_keys):
         v = _pair_stage_rows(v, n_keys, s, False)
         s //= 2
     while s >= 1:
-        v = _dir_stage(v, n_keys, s, 0, False)
+        v = _dir_stage(v, n_keys, s, 0)
         s //= 2
     v = [p.T for p in v]
     for p, o in zip(v, outs):

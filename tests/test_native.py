@@ -39,25 +39,3 @@ def test_host_histogram(rng):
         want = np.bincount((x >> np.uint32(lvl * 8)) & 0xFF, minlength=256)
         got = host.host_histogram(x, lvl)
         np.testing.assert_array_equal(got, want)
-
-
-def test_regions_plan_roundtrip(rng):
-    """Executing the plan on locally-sorted tiles yields the global sort
-    (regions_sort.rs behavioral contract)."""
-    n_tiles, tile = 7, 4096
-    x = rng.integers(0, 2**32, size=n_tiles * tile, dtype=np.uint32)
-    tiles = x.reshape(n_tiles, tile).copy()
-    counts = np.zeros((n_tiles, 256), dtype=np.int64)
-    for t in range(n_tiles):
-        tiles[t].sort()
-        counts[t] = np.bincount(tiles[t] >> 24, minlength=256)
-    flat = tiles.reshape(-1)
-    plan = host.regions_plan(counts, np.full(n_tiles, tile, dtype=np.int64))
-    out = np.zeros_like(flat)
-    for src, dst, ln in plan:
-        out[dst:dst + ln] = flat[src:src + ln]
-    # per-bucket: contents grouped by top byte; sorting within buckets
-    # reproduces the full sort
-    assert np.array_equal(np.sort(out), np.sort(x))
-    top = out >> 24
-    assert np.all(top[1:] >= top[:-1])
