@@ -68,12 +68,29 @@ def main():
     ap.add_argument("--plan", default="auto")
     ap.add_argument("--all", action="store_true",
                     help="run all BASELINE configs (verbose, not driver mode)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="keys/s at 2^25..2^28 — the large-n anchor for "
+                         "the 1B-key north star (one JSON line per size)")
     args = ap.parse_args()
 
     if args.all:
         from scripts import timings  # noqa: F401 — full harness lives there
 
         print("use scripts/timings.py for the full matrix", file=sys.stderr)
+
+    if args.sweep:
+        # 2 planes x 2^28 x (in+out+loop-carry) uint32 ~ 6 GiB: fits v5e
+        # HBM; 2^29 does not with the chain-through-loop harness.
+        for logn in (25, 26, 27, 28):
+            kps = _bench_sort_words(1 << logn, n_words=2, plan=args.plan,
+                                    iters=4 if logn >= 27 else 8)
+            print(json.dumps({
+                "metric": f"u64_sort_keys_per_s_chip_n{1 << logn}",
+                "value": round(kps),
+                "unit": "keys/s",
+                "vs_baseline": round(kps / 1e9, 4),
+            }))
+        return
 
     keys_per_s = _bench_sort_words(args.n, n_words=2, plan=args.plan)
     target = 1e9  # BASELINE.json north star: 1B u64 keys/s/chip

@@ -338,12 +338,28 @@ def sort_key_value(keys_arr, values, *, stable: bool = False):
 
 
 def argsort(keys_arr, *, stable: bool = True):
-    """Indices that sort ``keys_arr`` (stable by default)."""
+    """Indices that sort ``keys_arr`` (stable by default).
+
+    Stable mode sorts UNSTABLY on the composite (key, iota): the iota
+    field makes the order strict, so the unique result IS the stable
+    permutation and the iota comes back as the answer.  That carries one
+    plane fewer than a stable sort with an iota payload (the engine's
+    stability machinery would add its own index plane on the fused path,
+    and lax.sort's stable flag costs ~2.2x per operand — probe12/probe22),
+    so stable argsort rides the cheapest possible encoding of itself.
+    """
     n = _length_of(keys_arr)
-    idx = np.arange(n, dtype=np.uint32)
-    if not isinstance(keys_arr, np.ndarray) and not isinstance(
-        keys_arr, (list, tuple)
-    ):
-        idx = jnp.arange(n, dtype=jnp.uint32)
-    _, out = sort_key_value(keys_arr, idx, stable=stable)
-    return out
+    fields = (
+        list(keys_arr) if isinstance(keys_arr, (list, tuple))
+        else [keys_arr]
+    )
+    use_np = any(isinstance(f, np.ndarray) for f in fields)
+    idx = (
+        np.arange(n, dtype=np.uint32) if use_np
+        else jnp.arange(n, dtype=jnp.uint32)
+    )
+    if not stable:
+        _, out = sort_key_value(keys_arr, idx, stable=False)
+        return out
+    out = RadixSortBuilder(tuple(fields + [idx])).sort()
+    return out[-1]

@@ -90,23 +90,36 @@ def _roll(p, k, axis):
 
 
 def widen_plane(p: jax.Array):
-    """Widen a sub-32-bit plane to uint32 for the kernels; return
-    ``(widened, restore_fn)``.  Floats widen bit-exactly (bitcast through
-    the same-width uint); sub-32-bit ints sign/zero-extend and truncate
-    back (exact for the unsigned key planes and a round trip for signed
-    payloads)."""
+    """Reinterpret a plane as the SAME-WIDTH unsigned integer; return
+    ``(plane, restore_fn)``.  Since round 4 sub-32-bit planes stay
+    narrow in HBM/VMEM (byte-proportional traffic, probe26) and the
+    kernels widen to uint32 in registers only (Mosaic has no sub-32-bit
+    rotate, probe25)."""
     dt = p.dtype
     size = np.dtype(dt).itemsize
-    if size == 4:
+    target = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32}[size]
+    if dt == target:
         return p, lambda q: q
-    if jnp.issubdtype(dt, jnp.floating):
-        narrow = jnp.uint16 if size == 2 else jnp.uint8
-        u = jax.lax.bitcast_convert_type(p, narrow)
-        return (
-            u.astype(jnp.uint32),
-            lambda q: jax.lax.bitcast_convert_type(q.astype(narrow), dt),
-        )
-    return p.astype(jnp.uint32), lambda q: q.astype(dt)
+    return (
+        jax.lax.bitcast_convert_type(p, target),
+        lambda q: jax.lax.bitcast_convert_type(q, dt),
+    )
+
+
+def _kwiden(v):
+    """Widen narrow planes to uint32 inside a kernel (zero-extension:
+    order-preserving for unsigned keys; riders only move)."""
+    return [
+        p.astype(jnp.uint32) if p.dtype != jnp.uint32 else p for p in v
+    ]
+
+
+def _knarrow(v, dtypes):
+    """Truncate back to the HBM dtypes at store time (exact: merge
+    kernels never leave a plane's native domain)."""
+    return [
+        p.astype(dt) if p.dtype != dt else p for p, dt in zip(v, dtypes)
+    ]
 
 
 def _lex_gt(xs, ys):
@@ -129,10 +142,12 @@ def _stage_kernel(*refs, n_keys):
     ins, outs = refs[:n], refs[n:]
     lo = [r[0, 0] for r in ins]
     hi = [r[0, 1] for r in ins]
+    dtypes = [p.dtype for p in lo]
+    lo, hi = _kwiden(lo), _kwiden(hi)
     swap = _lex_gt(lo[:n_keys], hi[:n_keys])
-    for l, h, o in zip(lo, hi, outs):
-        o[0, 0] = jnp.where(swap, h, l)
-        o[0, 1] = jnp.where(swap, l, h)
+    for l, h, o, dt in zip(lo, hi, outs, dtypes):
+        o[0, 0] = jnp.where(swap, h, l).astype(dt)
+        o[0, 1] = jnp.where(swap, l, h).astype(dt)
 
 
 def _tail_kernel(*refs, n_keys, rows, row_strides, lane_strides):
@@ -145,6 +160,8 @@ def _tail_kernel(*refs, n_keys, rows, row_strides, lane_strides):
     n = len(refs) // 2
     ins, outs = refs[:n], refs[n:]
     v = [r[0] for r in ins]
+    dtypes = [p.dtype for p in v]
+    v = _kwiden(v)
 
     def stage(v, k, axis):
         iota = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), axis)
@@ -162,7 +179,7 @@ def _tail_kernel(*refs, n_keys, rows, row_strides, lane_strides):
         v = stage(v, k, 0)
     for k in lane_strides:
         v = stage(v, k, 1)
-    for p, o in zip(v, outs):
+    for p, o in zip(_knarrow(v, dtypes), outs):
         o[0] = p
 
 

@@ -138,17 +138,48 @@ def _dir_stage(v, n_keys, k, axis):
     ]
 
 
-def _flip_keys(v, n_keys, mask):
+def _flip_keys(v, n_keys, mask, widths=None):
     """Complement the key planes where ``mask`` (scalar or per-element)
     is set.  An ascending merge of complemented keys IS the descending
     merge of the originals (lexicographic order over complements is the
     exact reverse, strict-tie behavior included); payload planes follow
     the same swaps either way.  ``mask`` must be uniform within each
     compare pair — guaranteed because a stage at element stride s only
-    pairs elements within one output run (s <= R < 2R)."""
+    pairs elements within one output run (s <= R < 2R).
+
+    ``widths``: per-plane HBM byte widths.  Planes narrower than 32 bits
+    ride the kernels zero-extended to uint32 (Mosaic has no sub-32-bit
+    rotate — probe25/26), so their complement is an XOR against the
+    NARROW all-ones (0xFF/0xFFFF): that keeps flipped values inside the
+    narrow domain, matching the XLA-land native ``~`` the phase-0 /
+    piece paths apply, and truncates back exactly on store."""
     return [
-        jnp.where(mask, ~p, p) if j < n_keys else p
+        jnp.where(mask, p ^ _ones(None if widths is None else widths[j]),
+                  p)
+        if j < n_keys else p
         for j, p in enumerate(v)
+    ]
+
+
+def _ones(width=None) -> np.uint32:
+    if width is None or width >= 4:
+        return np.uint32(0xFFFFFFFF)
+    return np.uint32((1 << (8 * width)) - 1)
+
+
+def _kwiden(v):
+    """Widen narrow planes to uint32 inside a kernel (zero-extension:
+    order-preserving for the unsigned key planes; riders only move)."""
+    return [
+        p.astype(jnp.uint32) if p.dtype != jnp.uint32 else p for p in v
+    ]
+
+
+def _knarrow(v, dtypes):
+    """Inverse of :func:`_kwiden` at store time (exact: every value is
+    back in its narrow domain once direction flips are undone)."""
+    return [
+        p.astype(dt) if p.dtype != dt else p for p, dt in zip(v, dtypes)
     ]
 
 
@@ -165,7 +196,7 @@ def _level_stages(v, n_keys, start_stride):
     return v
 
 
-def _tail_kernel(*refs, n_keys, block, levels, unflip_shift):
+def _tail_kernel(*refs, n_keys, block, levels, unflip_shift, widths):
     """Run one or more merge levels entirely inside a VMEM block.
 
     ``levels``: tuple of (log2(2R), start_stride) — each level's output
@@ -173,11 +204,15 @@ def _tail_kernel(*refs, n_keys, block, levels, unflip_shift):
     levels fully inside the block, block/2 after a span pass handled the
     larger strides).  ``unflip_shift``: when set, key planes load XORed
     back to original encoding for odd phase-0 rows (log2 of the phase-0
-    row length).
+    row length).  ``widths``: per-plane HBM byte widths — narrow planes
+    ride VMEM narrow (half/quarter HBM traffic, probe26) and compute
+    widened to uint32 in registers.
     """
     half = len(refs) // 2
     ins, outs = refs[:half], refs[half:]
     v = [r[0] for r in ins]  # (rows, LANES)
+    dtypes = [p.dtype for p in v]
+    v = _kwiden(v)
     rows = block // LANES
     i = pl.program_id(0)
 
@@ -196,7 +231,7 @@ def _tail_kernel(*refs, n_keys, block, levels, unflip_shift):
     if unflip_shift is not None:
         flip = (((i * block + elem_idx()) >> unflip_shift) & 1) == 1
         v = [
-            jnp.where(flip, ~p, p) if j < n_keys else p
+            jnp.where(flip, p ^ _ones(widths[j]), p) if j < n_keys else p
             for j, p in enumerate(v)
         ]
     for log_2r, start in levels:
@@ -205,10 +240,10 @@ def _tail_kernel(*refs, n_keys, block, levels, unflip_shift):
             desc = ((i >> (log_2r - log_block)) & 1) == 1
         else:
             desc = (((i * block + elem_idx()) >> log_2r) & 1) == 1
-        v = _flip_keys(v, n_keys, desc)
+        v = _flip_keys(v, n_keys, desc, widths)
         v = _level_stages(v, n_keys, start)
-        v = _flip_keys(v, n_keys, desc)
-    for p, o in zip(v, outs):
+        v = _flip_keys(v, n_keys, desc, widths)
+    for p, o in zip(_knarrow(v, dtypes), outs):
         o[0] = p
 
 
@@ -224,6 +259,7 @@ def _tail_call(planes, n, block, n_keys, levels, unflip_shift, interpret):
             block=block,
             levels=tuple(levels),
             unflip_shift=unflip_shift,
+            widths=tuple(np.dtype(p.dtype).itemsize for p in planes),
         ),
         grid=(nblk,),
         in_specs=[spec() for _ in planes],
@@ -235,7 +271,7 @@ def _tail_call(planes, n, block, n_keys, levels, unflip_shift, interpret):
     return [p.reshape(n) for p in out]
 
 
-def _span_kernel(*refs, n_keys, n_stages, w_rows, log_ratio):
+def _span_kernel(*refs, n_keys, n_stages, w_rows, log_ratio, widths):
     """Phase A: ``n_stages`` consecutive large-stride stages in one trip.
 
     Each ref is (1, P, 1, w_rows, LANES): P strided pieces whose piece
@@ -252,13 +288,15 @@ def _span_kernel(*refs, n_keys, n_stages, w_rows, log_ratio):
     desc = ((a >> log_ratio) & 1) == 1
     p_dim = ins[0].shape[1]
     v = [r[0, :, 0].reshape(p_dim * w_rows, LANES) for r in ins]
-    v = _flip_keys(v, n_keys, desc)
+    dtypes = [p.dtype for p in v]
+    v = _kwiden(v)
+    v = _flip_keys(v, n_keys, desc, widths)
     k = (p_dim // 2) * w_rows
     for _ in range(n_stages):
         v = _dir_stage(v, n_keys, k, 0)
         k //= 2
-    v = _flip_keys(v, n_keys, desc)
-    for p, o in zip(v, outs):
+    v = _flip_keys(v, n_keys, desc, widths)
+    for p, o in zip(_knarrow(v, dtypes), outs):
         o[0, :, 0] = p.reshape(p_dim, w_rows, LANES)
 
 
@@ -281,6 +319,7 @@ def _span_call(planes, n, s_hi, s_lo, two_r, block, n_keys, interpret):
             n_stages=_log2(p_dim),
             w_rows=w_rows,
             log_ratio=_log2(two_r // (2 * s_hi)),
+            widths=tuple(np.dtype(p.dtype).itemsize for p in planes),
         ),
         grid=(a_dim, w_cells),
         in_specs=[spec() for _ in planes],
@@ -292,26 +331,23 @@ def _span_call(planes, n, s_hi, s_lo, two_r, block, n_keys, interpret):
     return [p.reshape(n) for p in out]
 
 
-def _widen(p: jax.Array) -> tuple[jax.Array, Callable]:
-    """Widen a sub-32-bit plane to uint32 for the kernels; return the
-    restoring inverse.  Floats widen bit-exactly (bitcast through the
-    same-width uint); sub-32-bit ints sign/zero-extend and truncate back.
-    """
+def _norm_plane(p: jax.Array) -> tuple[jax.Array, Callable]:
+    """Reinterpret a plane as a SAME-WIDTH unsigned integer; return the
+    restoring inverse.  Unlike the pre-round-4 ``_widen``, sub-32-bit
+    planes stay narrow: they ride the kernels' HBM/VMEM buffers at their
+    native byte width (probe26: a u16 rider costs ~0.55x of a u32 one,
+    u8 ~0.4x — byte-proportional, matching probe12 P4 for lax.sort) and
+    are widened to uint32 only in registers (Mosaic has no sub-32-bit
+    rotate — probe25)."""
     dt = p.dtype
     size = np.dtype(dt).itemsize
-    if size == 4:
+    target = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32}[size]
+    if dt == target:
         return p, lambda q: q
-    if jnp.issubdtype(dt, jnp.floating):
-        u = jax.lax.bitcast_convert_type(
-            p, jnp.uint16 if size == 2 else jnp.uint8
-        )
-        return (
-            u.astype(jnp.uint32),
-            lambda q: jax.lax.bitcast_convert_type(
-                q.astype(jnp.uint16 if size == 2 else jnp.uint8), dt
-            ),
-        )
-    return p.astype(jnp.uint32), lambda q: q.astype(dt)
+    return (
+        jax.lax.bitcast_convert_type(p, target),
+        lambda q: jax.lax.bitcast_convert_type(q, dt),
+    )
 
 
 def fused_sort_available(
@@ -367,9 +403,10 @@ def _phase0_mode(phase0: str) -> str:
     batched ``lax.sort`` rows + a trip-1 merge tail; ``vmem`` = sort each
     VMEM block end-to-end inside ONE tail-kernel sweep (the full
     parity-masked bitonic network, levels 1..log2(block)) — the in-VMEM
-    block sort of the round-2 verdict, viable once probe24's deep blocks
-    made in-kernel stages cheaper than the batched network's
-    (RDST_TPU_VMEM_PHASE0 overrides; measured A/B in BENCH_NOTES)."""
+    block sort of the round-2 verdict.  RDST_TPU_VMEM_PHASE0 overrides
+    ``auto``; the default comes from the round-4 A/B in BENCH_NOTES."""
+    if phase0 not in ("auto", "net", "vmem"):
+        raise ValueError(f"phase0 must be auto|net|vmem, got {phase0!r}")
     if phase0 != "auto":
         return phase0
     env = os.environ.get("RDST_TPU_VMEM_PHASE0")
@@ -398,8 +435,8 @@ def fused_sort(
     nk = len(words)
     interpret = config.pallas_interpret()
 
-    wk = [_widen(p) for p in words]
-    wp = [_widen(p) for p in payloads]
+    wk = [_norm_plane(p) for p in words]
+    wp = [_norm_plane(p) for p in payloads]
     kplanes = [p for p, _ in wk]
     pplanes = [p for p, _ in wp]
     for p in kplanes:
@@ -424,7 +461,7 @@ def fused_sort(
     if pad:
         kplanes = [
             jnp.concatenate(
-                [p, jnp.full((pad,), np.uint32(0xFFFFFFFF), p.dtype)]
+                [p, jnp.full((pad,), np.iinfo(p.dtype).max, p.dtype)]
             )
             for p in kplanes
         ]
@@ -436,10 +473,11 @@ def fused_sort(
         planes.append(jnp.arange(total, dtype=jnp.uint32))
         n_keys += 1
     elif pad and pplanes:
-        # pads must not trade payloads with real all-ones keys
+        # pads must not trade payloads with real all-ones keys; one BYTE
+        # suffices (narrow planes ride at native width since round 4)
         planes.append(
             jnp.concatenate(
-                [jnp.zeros((n,), jnp.uint32), jnp.ones((pad,), jnp.uint32)]
+                [jnp.zeros((n,), jnp.uint8), jnp.ones((pad,), jnp.uint8)]
             )
         )
         n_keys += 1
@@ -459,7 +497,14 @@ def fused_sort(
         )
 
     if block is not None:
-        blk_s, blk_b = block, block * (4 if len(planes) == 1 else 2)
+        # test-only knob: derived big block stays inside the measured
+        # VMEM ceiling (_pick_blocks) no matter what block is passed
+        blk_s = block
+        blk_b = min(
+            block * (4 if len(planes) == 1 else 2),
+            _pick_blocks(len(planes))[1],
+        )
+        blk_b = max(blk_b, blk_s)
     else:
         blk_s, blk_b = _pick_blocks(len(planes))
     m = min(row or ROW, min(blk_s, total) // 2)

@@ -76,7 +76,9 @@ def _pack_levels(words: Sequence[jax.Array], varying: list[int]):
         p if p is not None else jnp.zeros((n,), jnp.uint32) for p in packed
     ]
     msw_bytes = vb - 4 * (n_packed - 1)
-    if 0 < msw_bytes <= 2:
+    if msw_bytes == 1:
+        out[0] = out[0].astype(jnp.uint8)
+    elif msw_bytes == 2:
         out[0] = out[0].astype(jnp.uint16)
     return out
 

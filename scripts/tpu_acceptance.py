@@ -2,10 +2,15 @@
 
 The reference's comparison suites run to 50M elements in release mode
 (test_utils.rs:63-95, CI rust.yml:32); the CPU-mesh pytest suite keeps
-sizes small, so this script drives the big sizes on the actual chip.
+sizes small AND runs the Pallas kernels in interpret mode with shrunken
+geometry, so this script drives the big sizes — and therefore the
+PRODUCTION block/row fused kernels — on the actual chip, asserting
+bit-exactness of the full dispatcher (builder -> Sorter -> plan) against
+numpy oracles.
 
-    python scripts/tpu_acceptance.py
+    python scripts/tpu_acceptance.py [--json ACCEPT.json]
 """
+import json
 import os
 import sys
 import time
@@ -16,9 +21,12 @@ sys.path.insert(
 
 import numpy as np
 
+RESULTS = []
+
 
 def check(name, ok):
     print(("PASS " if ok else "FAIL ") + name, flush=True)
+    RESULTS.append({"check": name, "ok": bool(ok)})
     return ok
 
 
@@ -84,8 +92,60 @@ def main():
     z = (rng.zipf(1.3, 10_000_000) % (2**31)).astype(np.uint32)
     got = rt.radix_sort_unstable(z)
     all_ok &= check("zipf 10M tuner path", np.array_equal(got, np.sort(z)))
+    del z, got
+
+    # pow2 2^23: the fused executor's power-of-two core at production
+    # block/row, stable + payload, through the dispatcher
+    p = 1 << 23
+    kp = rng.integers(0, 2**64, p, dtype=np.uint64)
+    vp = np.arange(p, dtype=np.uint32)
+    ks, vs = rt.sort_key_value(kp, vp, stable=True)
+    order = np.argsort(kp, kind="stable")
+    all_ok &= check(
+        "u64 2^23 pow2 fused core stable+payload",
+        np.array_equal(ks, kp[order]) and np.array_equal(vs, vp[order]),
+    )
+    del kp, vp, ks, vs
+
+    # composite struct key (u16, f32) + payload — the c3/c6 shape; the
+    # compaction plan narrows the MSW to u16 and the fused kernels carry
+    # it at native width (round-4 narrow-plane support)
+    s = 4_000_000
+    a16 = rng.integers(0, 2**16, s).astype(np.uint16)
+    b32 = rng.standard_normal(s).astype(np.float32)
+    vs_in = np.arange(s, dtype=np.uint32)
+    builder = rt.radix_sort_builder((a16, b32), [vs_in]).with_stable(True)
+    out_keys, out_pays = builder.sort()
+    nk = rkeys.normalize((a16, b32))
+    w = [np.asarray(x) for x in nk.words]
+    order = np.lexsort(w[::-1])
+    oa, ob = out_keys
+    all_ok &= check(
+        "struct (u16,f32) 4M stable+payload",
+        np.array_equal(np.asarray(oa), a16[order])
+        and np.array_equal(
+            np.asarray(ob).view(np.uint32), b32[order].view(np.uint32)
+        )
+        and np.array_equal(np.asarray(out_pays[0]), vs_in[order]),
+    )
 
     print("ALL OK" if all_ok else "FAILURES PRESENT", flush=True)
+    out_path = None
+    if "--json" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--json") + 1]
+    if out_path:
+        import jax
+
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "device": str(jax.devices()[0]),
+                    "all_ok": bool(all_ok),
+                    "checks": RESULTS,
+                },
+                fh,
+                indent=1,
+            )
     sys.exit(0 if all_ok else 1)
 
 

@@ -151,6 +151,69 @@ def test_narrow_and_float_payloads_round_trip():
     np.testing.assert_array_equal(np.asarray(out_p[1]), pi[order])
 
 
+@pytest.mark.parametrize("stable", [False, True])
+def test_mixed_width_keys_pow2(stable):
+    """(u16 MSW, u32 LSW) key — the packed struct shape (lsb.py narrows
+    a 6-byte key to exactly this).  Narrow planes ride the kernels at
+    native width since round 4; parity masks and piece flips must use
+    the narrow-width complement (pallas_sort._ones)."""
+    rng = np.random.default_rng(21)
+    n = 1 << 13
+    k0 = rng.integers(0, 2**16, size=n).astype(np.uint16)
+    k1 = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    pay = np.arange(n, dtype=np.uint32)
+    out_k, out_p = ps.fused_sort(
+        [jnp.asarray(k0), jnp.asarray(k1)], [jnp.asarray(pay)],
+        stable=stable, row=256, block=1024,
+    )
+    assert out_k[0].dtype == jnp.uint16
+    keys = [k0.astype(np.uint32), k1]
+    if stable:
+        _check_stable(keys, [pay], out_k, out_p)
+    else:
+        _check_unstable(keys, [pay], out_k, out_p)
+
+
+@pytest.mark.parametrize("n,stable", [(4429, True), (5000, False)])
+def test_mixed_width_keys_non_pow2(n, stable):
+    """Narrow key planes through the piece decomposition: odd pieces
+    sort descending via the NATIVE-width complement in XLA-land while
+    the kernels complement widened values via the width mask — the two
+    domains must agree bit-exactly."""
+    rng = np.random.default_rng(n)
+    k0 = rng.integers(0, 2**16, size=n).astype(np.uint16)
+    k1 = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    k0[:9] = 0xFFFF  # collide with the narrow pad sentinel
+    pay = np.arange(n, dtype=np.uint32)
+    out_k, out_p = ps.fused_sort(
+        [jnp.asarray(k0), jnp.asarray(k1)],
+        [jnp.asarray(pay)] if stable else [],
+        stable=stable, row=256, block=1024,
+    )
+    assert out_k[0].shape[0] == n
+    keys = [k0.astype(np.uint32), k1]
+    if stable:
+        _check_stable(keys, [pay], out_k, out_p)
+    else:
+        _check_unstable(keys, [], out_k, out_p)
+
+
+def test_u8_planes():
+    """u8 key + u8 rider: quarter-width planes through every kernel."""
+    rng = np.random.default_rng(23)
+    n = 1 << 13
+    k = rng.integers(0, 256, size=n).astype(np.uint8)
+    p8 = rng.integers(0, 256, size=n).astype(np.uint8)
+    out_k, out_p = ps.fused_sort(
+        [jnp.asarray(k)], [jnp.asarray(p8)], stable=True,
+        row=256, block=1024,
+    )
+    assert out_k[0].dtype == jnp.uint8 and out_p[0].dtype == jnp.uint8
+    order = np.argsort(k, kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k[0]), k[order])
+    np.testing.assert_array_equal(np.asarray(out_p[0]), p8[order])
+
+
 def test_stable_exactness_on_heavy_ties():
     """Zipf-like duplicates: stable output must be the exact stable
     permutation, not just key-equal."""
