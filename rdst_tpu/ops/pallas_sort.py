@@ -398,23 +398,6 @@ def fused_sort_available(
     return config.on_tpu() and not config.pallas_interpret()
 
 
-def _phase0_mode(phase0: str) -> str:
-    """Resolve the phase-0 strategy: ``net`` = alternating-direction
-    batched ``lax.sort`` rows + a trip-1 merge tail; ``vmem`` = sort each
-    VMEM block end-to-end inside ONE tail-kernel sweep (the full
-    parity-masked bitonic network, levels 1..log2(block)) — the in-VMEM
-    block sort of the round-2 verdict.  RDST_TPU_VMEM_PHASE0 overrides
-    ``auto``; the default comes from the round-4 A/B in BENCH_NOTES."""
-    if phase0 not in ("auto", "net", "vmem"):
-        raise ValueError(f"phase0 must be auto|net|vmem, got {phase0!r}")
-    if phase0 != "auto":
-        return phase0
-    env = os.environ.get("RDST_TPU_VMEM_PHASE0")
-    if env is not None:
-        return "vmem" if env == "1" else "net"
-    return "net"
-
-
 def fused_sort(
     words: Sequence[jax.Array],
     payloads: Sequence[jax.Array] = (),
@@ -422,7 +405,6 @@ def fused_sort(
     stable: bool = False,
     row: int | None = None,
     block: int | None = None,
-    phase0: str = "auto",
 ) -> tuple[list[jax.Array], list[jax.Array]]:
     """Sort key word planes (most significant first) + payload planes.
 
@@ -511,11 +493,9 @@ def fused_sort(
     if total < 2 * LANES or m < 2 or min(blk_s, total) < 2 * LANES:
         out = jax.lax.sort(tuple(planes), num_keys=n_keys, is_stable=False)
         return finish(out)
-    p0 = _phase0_mode(phase0)
 
     if Q is None:
-        planes = _core(planes, total, n_keys, blk_s, blk_b, m, interpret,
-                       p0)
+        planes = _core(planes, total, n_keys, blk_s, blk_b, m, interpret)
         return finish(planes)
 
     # piece path: sort each power-of-two piece (odd pieces descending via
@@ -530,13 +510,13 @@ def fused_sort(
             off += (1 << bit) * Q
     acc = _sort_piece(
         [p[: pieces[0][1]] for p in planes], n_keys, False, blk_s, blk_b,
-        m, interpret, p0,
+        m, interpret,
     )
     la = pieces[0][1]
     for o, ln in pieces[1:]:
         pc = _sort_piece(
             [p[o : o + ln] for p in planes], n_keys, True, blk_s, blk_b,
-            m, interpret, p0,
+            m, interpret,
         )
         acc = [jnp.concatenate([a, b]) for a, b in zip(acc, pc)]
         la += ln
@@ -544,12 +524,21 @@ def fused_sort(
     return finish(acc)
 
 
-def _core(planes, T, n_keys, blk_s, blk_b, m, interpret, phase0="net"):
+def _core(planes, T, n_keys, blk_s, blk_b, m, interpret):
     """The power-of-two fused network: phase-0 sorted ``blk_s`` blocks
-    (batched ``lax.sort`` rows + trip-1 merge tail, or one full in-VMEM
-    network), then parity-masked merge levels.  Levels whose run fits in
-    ``blk_b`` are ONE single-level tail sweep (no span); larger levels
-    take span trip(s) for strides >= blk_b plus one tail sweep."""
+    (batched ``lax.sort`` rows + trip-1 merge tail), then parity-masked
+    merge levels.  Levels whose run fits in ``blk_b`` are ONE
+    single-level tail sweep (no span); larger levels take span trip(s)
+    for strides >= blk_b plus one tail sweep.
+
+    The alternative phase-0 — the full in-VMEM bitonic network of every
+    level up to the block in one kernel sweep (round 2's "in-VMEM block
+    sort") — was built and REFUTED by A/B at production geometry
+    (scripts/probe29.py, BENCH_NOTES round 4): it loses 1.4-1.6x at 2^22
+    across 1-3 planes and only ties at 2^25 x 1 plane, because the
+    batched lax.sort rows retire the first ~12 levels at 0.46-0.86 ns/el
+    while the in-kernel network pays the measured ~0.0073 ns/el/stage
+    VPU bound for all of them."""
     blk_s = min(blk_s, T)
     blk_b = min(blk_b, T)
     m = min(m, blk_s // 2)
@@ -557,36 +546,26 @@ def _core(planes, T, n_keys, blk_s, blk_b, m, interpret, phase0="net"):
         _log2(m), _log2(blk_s), _log2(blk_b), _log2(T),
     )
 
-    if phase0 == "vmem":
-        # the full bitonic network of every level up to the block, inside
-        # ONE kernel sweep; block parity (scalar, from program_id) makes
-        # the blocks come out alternating asc/desc with no key flipping
-        levels = [(l2r, 1 << (l2r - 1)) for l2r in range(1, log_bs + 1)]
-        planes = _tail_call(
-            planes, T, blk_s, n_keys, levels, unflip_shift=None,
-            interpret=interpret,
-        )
-    else:
-        # phase 0: alternating-direction chunk rows in one batched sort
-        gid = jnp.arange(T, dtype=jnp.uint32)
-        flip = ((gid >> np.uint32(log_m)) & np.uint32(1)) == 1
-        planes = [
-            jnp.where(flip, ~p, p) if j < n_keys else p
-            for j, p in enumerate(planes)
-        ]
-        rows2 = [p.reshape(T // m, m) for p in planes]
-        srt = jax.lax.sort(tuple(rows2), dimension=1, num_keys=n_keys,
-                           is_stable=False)
-        planes = [p.reshape(T) for p in srt]
+    # phase 0: alternating-direction chunk rows in one batched sort
+    gid = jnp.arange(T, dtype=jnp.uint32)
+    flip = ((gid >> np.uint32(log_m)) & np.uint32(1)) == 1
+    planes = [
+        jnp.where(flip, ~p, p) if j < n_keys else p
+        for j, p in enumerate(planes)
+    ]
+    rows2 = [p.reshape(T // m, m) for p in planes]
+    srt = jax.lax.sort(tuple(rows2), dimension=1, num_keys=n_keys,
+                       is_stable=False)
+    planes = [p.reshape(T) for p in srt]
 
-        # trip 1: un-flip + all levels up to run length == blk_s, in VMEM
-        levels = [
-            (l2r, 1 << (l2r - 1)) for l2r in range(log_m + 1, log_bs + 1)
-        ]
-        planes = _tail_call(
-            planes, T, blk_s, n_keys, levels, unflip_shift=log_m,
-            interpret=interpret,
-        )
+    # trip 1: un-flip + all levels up to run length == blk_s, in VMEM
+    levels = [
+        (l2r, 1 << (l2r - 1)) for l2r in range(log_m + 1, log_bs + 1)
+    ]
+    planes = _tail_call(
+        planes, T, blk_s, n_keys, levels, unflip_shift=log_m,
+        interpret=interpret,
+    )
 
     # levels above blk_s: span trip(s) for strides R..blk_b (none when
     # the run fits in blk_b), then ONE single-level tail sweep at blk_b
@@ -613,8 +592,7 @@ def _core(planes, T, n_keys, blk_s, blk_b, m, interpret, phase0="net"):
 MIN_PIECE = 1 << 20
 
 
-def _sort_piece(planes, n_keys, descending, blk_s, blk_b, m, interpret,
-                phase0="net"):
+def _sort_piece(planes, n_keys, descending, blk_s, blk_b, m, interpret):
     """Sort one power-of-two piece; ``descending`` complements the key
     planes around an ascending sort (lexicographic order over complements
     is the exact reverse), producing the desc-run operand the virtual-pad
@@ -623,8 +601,7 @@ def _sort_piece(planes, n_keys, descending, blk_s, blk_b, m, interpret,
     if descending:
         planes = [~p if j < n_keys else p for j, p in enumerate(planes)]
     if ln >= MIN_PIECE and min(blk_s, ln) >= 2 * LANES and m >= 2:
-        out = _core(list(planes), ln, n_keys, blk_s, blk_b, m, interpret,
-                    phase0)
+        out = _core(list(planes), ln, n_keys, blk_s, blk_b, m, interpret)
     else:
         out = list(
             jax.lax.sort(tuple(planes), num_keys=n_keys, is_stable=False)

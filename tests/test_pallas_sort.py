@@ -252,27 +252,3 @@ def test_tiny_fallback():
     arr = rng.integers(0, 2**32, size=100, dtype=np.uint32)
     out_k, _ = ps.fused_sort([jnp.asarray(arr)], [], row=256, block=1024)
     np.testing.assert_array_equal(np.asarray(out_k[0]), np.sort(arr))
-
-
-@pytest.mark.parametrize(
-    "n,nk,npay,stable",
-    [(1 << 12, 2, 1, False), (1 << 13, 2, 1, True), (5000, 1, 0, False)],
-)
-def test_vmem_phase0_parity(n, nk, npay, stable):
-    """phase0='vmem' (full in-VMEM block network, no batched lax.sort
-    pre-pass) is bit-equivalent to the default path."""
-    rng = np.random.default_rng(n * 3 + nk)
-    keys = rng.integers(0, 2**32, size=(nk, n), dtype=np.uint32)
-    pays = rng.integers(0, 2**32, size=(npay, n), dtype=np.uint32)
-    out_k, out_p = ps.fused_sort(
-        [jnp.asarray(k) for k in keys],
-        [jnp.asarray(p) for p in pays],
-        stable=stable,
-        row=256,
-        block=1024,
-        phase0="vmem",
-    )
-    if stable:
-        _check_stable(keys, pays, out_k, out_p)
-    else:
-        _check_unstable(keys, pays, out_k, out_p)
