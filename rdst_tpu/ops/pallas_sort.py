@@ -449,6 +449,7 @@ def fused_sort(
         ]
     planes = list(kplanes)
     n_keys = nk
+    late_marker = False
     if stable:
         # strict total order => the unique network output is the stable
         # permutation; doubles as the pad marker (pad indices >= n).
@@ -456,13 +457,20 @@ def fused_sort(
         n_keys += 1
     elif pad and pplanes:
         # pads must not trade payloads with real all-ones keys; one BYTE
-        # suffices (narrow planes ride at native width since round 4)
-        planes.append(
-            jnp.concatenate(
-                [jnp.zeros((n,), jnp.uint8), jnp.ones((pad,), jnp.uint8)]
+        # suffices (narrow planes ride at native width since round 4).
+        # On the piece path the pads all live in the FINAL (smallest)
+        # piece, so the marker joins only that piece's sort and the last
+        # merge — the leading pieces (most of the data) sort marker-free.
+        if Q is None:
+            planes.append(
+                jnp.concatenate(
+                    [jnp.zeros((n,), jnp.uint8),
+                     jnp.ones((pad,), jnp.uint8)]
+                )
             )
-        )
-        n_keys += 1
+            n_keys += 1
+        else:
+            late_marker = True
     if pad:
         pplanes = [
             jnp.concatenate([p, jnp.zeros((pad,), p.dtype)]) for p in pplanes
@@ -514,10 +522,25 @@ def fused_sort(
     )
     la = pieces[0][1]
     for o, ln in pieces[1:]:
+        sub = [p[o : o + ln] for p in planes]
+        nk_piece = n_keys
+        if late_marker and o + ln == total:
+            # pads (global positions >= n) are all inside this piece
+            sub = sub[:n_keys] + [
+                jnp.concatenate(
+                    [jnp.zeros((n - o,), jnp.uint8),
+                     jnp.ones((total - n,), jnp.uint8)]
+                )
+            ] + sub[n_keys:]
+            nk_piece += 1
         pc = _sort_piece(
-            [p[o : o + ln] for p in planes], n_keys, True, blk_s, blk_b,
-            m, interpret,
+            sub, nk_piece, True, blk_s, blk_b, m, interpret,
         )
+        if nk_piece != n_keys:
+            acc = acc[:n_keys] + [jnp.zeros((la,), jnp.uint8)] + (
+                acc[n_keys:]
+            )
+            n_keys = nk_piece
         acc = [jnp.concatenate([a, b]) for a, b in zip(acc, pc)]
         la += ln
         acc = _merge_asc_desc(acc, la, Q, n_keys, blk_b, interpret)

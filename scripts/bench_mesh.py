@@ -84,6 +84,45 @@ def main():
             "weak_scaling_efficiency_vs_D1": round(eff, 4),
         }), flush=True)
 
+    # 2-axis (host x chip) hierarchical exchange at the largest even
+    # split — the multi-host code shape (DCN blocks then ICI regroup)
+    if n_dev >= 4:
+        from rdst_tpu.parallel import make_mesh_2d
+
+        H = 2
+        C = (n_dev // H)
+        mesh2 = make_mesh_2d(H, C)
+        D = H * C
+        n = args.per_device * D
+        words = [
+            jnp.asarray(rng.integers(0, 2**32, n, dtype=np.int64)
+                        .astype(np.uint32))
+            for _ in range(2)
+        ]
+
+        def run2():
+            w, p, c = distributed_sort(
+                words, [], mesh=mesh2, axis=mesh2.axis_names,
+                capacity_factor=2.0, stable=False,
+            )
+            return float(jnp.sum(c))
+
+        run2()
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            run2()
+        dt = (time.perf_counter() - t0) / args.iters
+        rows_s = n / dt
+        eff = rows_s / (base * D)
+        print(json.dumps({
+            "metric": f"dist_shuffle_rows_per_s_hier_{H}x{C}",
+            "value": round(rows_s),
+            "unit": "rows/s",
+            "vs_baseline": round(eff, 4),
+            "devices": D,
+            "weak_scaling_efficiency_vs_D1": round(eff, 4),
+        }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -32,11 +32,21 @@ sys.path.insert(
 import numpy as np
 
 
-def bench_injit(step, args, iters=6):
+def bench_injit(step, args, iters=None):
     """step: tuple -> same-structure tuple. Chained through the loop so
-    XLA cannot hoist the loop-invariant body."""
+    XLA cannot hoist the loop-invariant body.
+
+    ``iters`` scales inversely with input size: small inputs (e.g. the
+    409k presorted config) finish one step in ~0.1 ms, which the
+    once-vs-many subtraction cannot resolve over ~1 ms of tunnel timing
+    jitter at 6 iterations — enough iterations put the measured delta
+    well above the noise floor."""
     import jax
     import jax.numpy as jnp
+
+    if iters is None:
+        n = int(args[0].shape[0])
+        iters = max(6, min(256, int(1e8 // max(n, 1))))
 
     @jax.jit
     def once(a):

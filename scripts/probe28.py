@@ -129,7 +129,12 @@ def main():
     def merge_step2(x):
         out = merge_sorted([x[0], x[1], x[2]], [x[3], x[4], x[5]], 3,
                            stable=False)
-        return tuple(out)
+        # chain outputs back into same-shaped inputs (min keeps the
+        # a-side sorted, so the next iteration's merge is well-formed)
+        a2 = tuple(
+            jnp.minimum(x[i], out[i][: x[i].shape[0]]) for i in range(3)
+        )
+        return a2 + tuple(x[3:])
     bench("merge 368k|73.7k merge_sorted", merge_step2,
           tuple(av) + tuple(bv), ns)
 

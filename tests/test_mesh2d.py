@@ -13,7 +13,6 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from rdst_tpu import keys as rkeys
 from rdst_tpu.parallel import (
     distributed_sort,
     distributed_group_aggregate,
