@@ -369,13 +369,12 @@ def fused_sort_available(
     n = int(words[0].shape[0])
     if n < MIN_ELEMS:
         return False
-    if not stable and payloads and _next_pow2(n) != n:
-        # pads + payloads + unstable need the pad-marker key plane; the
-        # extra plane costs more than the direct network's ~1.3x
-        # non-pow2 penalty (measured: c2 unstable 0.232x fused-4-plane
-        # vs 0.297x lax-3-op at 10M).  Stable mode keeps the fused path:
-        # its index plane replaces lax.sort's ~2.2x stability tax.
-        return False
+    # unstable+payloads+non-pow2 needs a pad-marker key plane; rounds 2-3
+    # gated it off because a u32 marker on every piece cost more than
+    # lax.sort's ~1.3x non-pow2 penalty (0.232x vs 0.292x at 10M).  Round
+    # 4 made the marker a u8 that joins ONLY the final piece and last
+    # merge, flipping the measurement: fused 2.971 vs lax 3.467 ns/el at
+    # 10M (probe27 marker) — the gate is gone.
     for p in words:
         dt = np.dtype(p.dtype)
         if dt.itemsize > 4 or dt.kind != "u":

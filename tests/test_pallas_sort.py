@@ -244,6 +244,9 @@ def test_availability_gate():
     assert not ps.fused_sort_available([u64], [])         # 8-byte plane
     assert not ps.fused_sort_available([u32], [b])        # bool payload
     assert not ps.fused_sort_available([u32] * 4, [u32] * 4)  # VMEM bound
+    odd = jnp.zeros((n + 5,), jnp.uint32)
+    # unstable+payload+non-pow2 admitted since round 4 (late u8 marker)
+    assert ps.fused_sort_available([odd], [odd], stable=False)
 
 
 def test_tiny_fallback():
