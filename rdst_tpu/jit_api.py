@@ -53,10 +53,18 @@ def sort(
 
 
 def argsort(x, *, stable: bool = True):
-    """Stable sorting indices, traceable under jit."""
+    """Sorting indices, traceable under jit (stable by default).
+
+    Stable mode sorts UNSTABLY on the composite (key, iota) — the same
+    one-plane-cheaper encoding as builder.argsort: the iota makes the
+    order strict, so the unique result IS the stable permutation."""
     import jax.numpy as jnp
 
     n = x[0].shape[0] if isinstance(x, (list, tuple)) else x.shape[0]
     idx = jnp.arange(n, dtype=jnp.uint32)
-    _, (out,) = sort(x, payloads=[idx], stable=stable)
-    return out
+    if not stable:
+        _, (out,) = sort(x, payloads=[idx], stable=False)
+        return out
+    fields = list(x) if isinstance(x, (list, tuple)) else [x]
+    out = sort(tuple(fields + [idx]))
+    return out[-1]

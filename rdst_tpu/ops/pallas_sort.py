@@ -590,8 +590,12 @@ def _core(planes, T, n_keys, blk_s, blk_b, m, interpret):
     )
 
     # levels above blk_s: span trip(s) for strides R..blk_b (none when
-    # the run fits in blk_b), then ONE single-level tail sweep at blk_b
-    max_span = _log2(blk_b // LANES)
+    # the run fits in blk_b), then ONE single-level tail sweep at blk_b.
+    # Span fan-in is capped so each cell keeps w_rows >= 8 (a full
+    # sublane tile): at 2^28 an uncapped p_dim=1024 leaves w_rows=2,
+    # whose T(2,128) relayout blows the 16 MB scoped-vmem limit
+    # (measured: bench --sweep round 4); one extra trip is cheap.
+    max_span = max(1, _log2(blk_b // LANES) - 3)
     for log_r in range(log_bs, log_t):
         two_r = 1 << (log_r + 1)
         hi = log_r
@@ -702,7 +706,7 @@ def _merge_asc_desc(planes, nR, Q, n_keys, blk, interpret):
         s //= 2
     blk_m = min(blk, Q)
     log_b = _log2(blk_m)
-    max_span = _log2(max(blk_m // LANES, 2))
+    max_span = max(1, _log2(max(blk_m // LANES, 2)) - 3)
     hi = _log2(Q) - 1
     while hi >= log_b:
         lo = max(log_b, hi - max_span + 1)
