@@ -64,23 +64,26 @@ def rev_fast(p: jax.Array) -> jax.Array:
 
 
 def mosaic_params(grid_rank: int, interpret: bool) -> dict:
-    """``pallas_call`` kwargs marking every grid dimension parallel.
+    """``pallas_call`` compiler params for this module's kernels.
 
-    All kernels in this module and ops/pallas_sort.py write each grid
-    cell's block from that cell alone, so the grid is embarrassingly
-    parallel — but measurement says NOT to tell Mosaic so by default:
-    at the production 4 MB in+out block footprint, parallel semantics
-    REGRESSES the tail level 73% (probe24: 0.086 -> 0.149 ns/el at
-    2^18 x 2 planes), while at half that footprint it was a ~5-13% win
-    (probe23).  Default semantics win at the block sizes pick_block now
-    chooses; RDST_TPU_PARALLEL_GRID=1 re-enables the hint for A/B."""
-    if interpret or os.environ.get("RDST_TPU_PARALLEL_GRID") != "1":
+    Scoped-VMEM limit: the default 16 MB sits exactly at the edge of the
+    4-plane single-level tail sweep (register allocation nondeterminism
+    flipped the same shape between compiling and a 16.22 MB OOM — round
+    4 acceptance run); 64 MB gives headroom without changing geometry
+    (v5e has 128 MB VMEM; probe24 V32/V64 validated raised limits).
+
+    Dimension semantics: all grids here are embarrassingly parallel, but
+    measurement says NOT to tell Mosaic so by default: at the production
+    4 MB in+out block footprint, parallel semantics REGRESSES the tail
+    level 73% (probe24: 0.086 -> 0.149 ns/el at 2^18 x 2 planes), while
+    at half that footprint it was a ~5-13% win (probe23).
+    RDST_TPU_PARALLEL_GRID=1 re-enables the hint for A/B."""
+    if interpret:
         return {}
-    return {
-        "compiler_params": pltpu.CompilerParams(
-            dimension_semantics=("parallel",) * grid_rank
-        )
-    }
+    kw = {"vmem_limit_bytes": 64 << 20}
+    if os.environ.get("RDST_TPU_PARALLEL_GRID") == "1":
+        kw["dimension_semantics"] = ("parallel",) * grid_rank
+    return {"compiler_params": pltpu.CompilerParams(**kw)}
 
 
 def _roll(p, k, axis):

@@ -38,7 +38,15 @@ key makes the total order strict, so the network's unique output IS the
 stable permutation — the reference's stable multithreaded workhorse
 contract (reference: src/sorts/mt_lsb_sort.rs:40-133, lib.rs stability
 docs).  The index plane also obviates the pad-marker plane: pads get
-indices >= n and sort after every real element.
+indices >= n and sort after every real element.  Unstable sorts with
+payloads at non-pow2 lengths use a u8 pad marker instead, and it joins
+only the FINAL piece's sort and last merge (round 4).
+
+Narrow planes: u16/u8 key words and riders stay at native width in
+HBM/VMEM (byte-proportional traffic, probe26) and widen to uint32 in
+registers only — Mosaic has no sub-32-bit rotate (probe25); direction
+complements XOR the narrow-width all-ones so flip domains match the
+XLA-land native ``~`` bit-exactly.
 
 Role equivalence: this replaces the radix core of the reference's
 out_of_place_sort.rs:52-199 / mt_lsb_sort.rs:65-132 as the thing that
@@ -96,11 +104,13 @@ def _pick_blocks(n_planes: int) -> tuple[int, int]:
     run fits in ``big`` needs NO span sweep at all.  The next doubling
     (8 MB in+out) fails Mosaic compile.
 
-    ``small`` is used by MULTI-level kernels (trip-1 / vmem phase-0),
-    whose longer stage programs need scoped-vmem stack on top of the
-    buffers: the doubled sizes there exceed the 16 MB scoped limit
-    (measured: trip-1 at 2^19 x 1 plane wants 29.8 MB).  These are the
-    production-proven round-2 sizes."""
+    ``small`` is used by the MULTI-level trip-1 kernel, whose longer
+    stage program needs scoped-vmem stack on top of the buffers: the
+    doubled sizes there exceed the 16 MB scoped limit (measured: trip-1
+    at 2^19 x 1 plane wants 29.8 MB).  These are the production-proven
+    round-2 sizes.  Plane counts, not bytes: narrow (u16/u8) planes ride
+    smaller HBM/VMEM buffers but their in-register u32 temporaries — the
+    scoped-vmem constraint — are width-independent."""
     big = (1 << 19) >> max(0, (n_planes - 1).bit_length())
     small = big >> (2 if n_planes == 1 else 1)
     return small, big

@@ -97,6 +97,22 @@ def init_distributed(**kwargs) -> None:
             raise
 
 
+def _local_sort(planes, n_keys, stable):
+    """Per-device sort inside shard_map: the fused bitonic executor when
+    it is available for the shard's shape (TPU, >= 2^21 elements — a
+    real pod's resident shards), else ``lax.sort``.  Local sorts are the
+    compute half of the shuffle (the exchange is bandwidth), so they
+    inherit the single-chip executor's measured wins (BENCH_NOTES
+    round 3/4: 1.1-1.6x over the direct network at >= 2^21)."""
+    from rdst_tpu.ops.pallas_sort import fused_sort, fused_sort_available
+
+    words, payloads = list(planes[:n_keys]), list(planes[n_keys:])
+    if fused_sort_available(words, payloads, stable=stable):
+        out_w, out_p = fused_sort(words, payloads, stable=stable)
+        return tuple(out_w) + tuple(out_p)
+    return jax.lax.sort(tuple(planes), num_keys=n_keys, is_stable=stable)
+
+
 def _flat_index(axis) -> jax.Array:
     """Flat device rank along ``axis`` (host-major for a (host, chip)
     tuple — the order all_gather concatenates and P(axis) shards)."""
@@ -190,10 +206,9 @@ def _local_shard_body(
 
     # 1. local stable sort by full key (payloads ride along)
     n_keys = n_send_words
-    sorted_all = jax.lax.sort(
-        tuple(words_and_payloads), num_keys=n_keys, is_stable=stable
+    sorted_all = list(
+        _local_sort(tuple(words_and_payloads), n_keys, stable)
     )
-    sorted_all = list(sorted_all)
     # nondecreasing after the local sort (monotone function of the key)
     gmins, wshifts, wbits = _window_params(sorted_all[:n_keys], axis)
     buckets = _apply_window(sorted_all[:n_keys], gmins, wshifts, wbits)
@@ -358,9 +373,7 @@ def _hier_exchange_and_finish(
     route = jnp.where(
         valid1, dest1 % jnp.uint32(jnp.maximum(C, 1)), jnp.uint32(C)
     )
-    srt = jax.lax.sort(
-        tuple([route] + p1), num_keys=1, is_stable=True
-    )
+    srt = _local_sort(tuple([route] + p1), 1, True)
     routed = list(srt[1:])
     bounds = jnp.searchsorted(
         srt[0], jnp.arange(C + 1, dtype=jnp.uint32), side="left"
@@ -469,10 +482,8 @@ def _exchange_once(
         me, n_local,
     )
     validity = jnp.where(valid_mask, np.uint32(0), np.uint32(1))
-    resorted = jax.lax.sort(
-        tuple([validity] + list(out_planes)),
-        num_keys=1 + n_keys,
-        is_stable=stable,
+    resorted = _local_sort(
+        tuple([validity] + list(out_planes)), 1 + n_keys, stable
     )
     return [p[:capacity] for p in resorted], n_valid
 
@@ -481,10 +492,8 @@ def _finish_sort(out_planes, valid_mask, n_keys, capacity, stable):
     # local sort of received data; a leading validity plane keeps pads
     # behind any real all-ones keys, then truncate to capacity.
     validity = jnp.where(valid_mask, np.uint32(0), np.uint32(1))
-    resorted = jax.lax.sort(
-        tuple([validity] + list(out_planes)),
-        num_keys=1 + n_keys,
-        is_stable=stable,
+    resorted = _local_sort(
+        tuple([validity] + list(out_planes)), 1 + n_keys, stable
     )
     return [p[:capacity] for p in resorted[1:]]
 
@@ -611,9 +620,7 @@ def _partition_body(
     # local sort by (bucket, key): send segments must be bucket-contiguous
     # even where window saturation breaks key-monotonicity of the bucket
     # map (out-of-range keys of a foreign window)
-    srt = jax.lax.sort(
-        tuple([buckets0] + planes), num_keys=1 + n_keys, is_stable=stable
-    )
+    srt = _local_sort(tuple([buckets0] + planes), 1 + n_keys, stable)
     buckets = srt[0]
     planes_sorted = list(srt[1:])
     boundary = jnp.searchsorted(buckets, dev_start, side="left").astype(

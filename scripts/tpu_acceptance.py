@@ -129,6 +129,31 @@ def main():
         and np.array_equal(np.asarray(out_pays[0]), vs_in[order]),
     )
 
+    # distributed pipeline on a 1-device TPU mesh: the ragged
+    # all-to-all code path AND the fused local sort inside shard_map
+    # (parallel/shuffle._local_sort) execute on the real chip
+    from rdst_tpu.parallel import distributed_sort, gather_valid, make_mesh
+
+    dn = 1 << 22
+    dk = rng.integers(0, 2**64, dn, dtype=np.uint64)
+    dpay = np.arange(dn, dtype=np.uint32)
+    dhi = (dk >> np.uint64(32)).astype(np.uint32)
+    dlo = (dk & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    words, pays, counts = distributed_sort(
+        [dhi, dlo], [dpay], mesh=make_mesh(1), stable=True
+    )
+    dense = gather_valid(list(words) + list(pays), counts)
+    got = (dense[0].astype(np.uint64) << np.uint64(32)) | dense[1].astype(
+        np.uint64
+    )
+    order = np.argsort(dk, kind="stable")
+    all_ok &= check(
+        "distributed 1-device mesh 2^22 stable+payload (fused local sort)",
+        np.array_equal(got, dk[order]) and np.array_equal(
+            dense[2], dpay[order]
+        ),
+    )
+
     print("ALL OK" if all_ok else "FAILURES PRESENT", flush=True)
     out_path = None
     if "--json" in sys.argv:
