@@ -86,6 +86,16 @@ def mosaic_params(grid_rank: int, interpret: bool) -> dict:
     return {"compiler_params": pltpu.CompilerParams(**kw)}
 
 
+def sds_like(p):
+    """ShapeDtypeStruct matching ``p`` including its varying-mesh-axes
+    set, so the fused kernels compose with ``jax.shard_map``'s
+    ``check_vma=True`` (the distributed shuffle's local sorts)."""
+    vma = getattr(jax.typeof(p), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(p.shape, p.dtype, vma=vma)
+    return jax.ShapeDtypeStruct(p.shape, p.dtype)
+
+
 def _roll(p, k, axis):
     """Circular shift so result[i] = p[i + k] along ``axis`` (k > 0)."""
     dim = p.shape[axis]
@@ -200,7 +210,7 @@ def _pallas_stage(planes, n_elems, s, n_keys, interpret):
         grid=(pairs, per),
         in_specs=[spec() for _ in planes],
         out_specs=[spec() for _ in planes],
-        out_shape=[jax.ShapeDtypeStruct(p.shape, p.dtype) for p in shaped],
+        out_shape=[sds_like(p) for p in shaped],
         interpret=interpret,
         **mosaic_params(2, interpret),
     )(*shaped)
@@ -230,7 +240,7 @@ def _pallas_tail(planes, n_elems, block, n_keys, interpret):
         grid=(nblk,),
         in_specs=[spec() for _ in planes],
         out_specs=[spec() for _ in planes],
-        out_shape=[jax.ShapeDtypeStruct(p.shape, p.dtype) for p in shaped],
+        out_shape=[sds_like(p) for p in shaped],
         interpret=interpret,
         **mosaic_params(1, interpret),
     )(*shaped)

@@ -65,7 +65,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from rdst_tpu import config
-from rdst_tpu.ops.pallas_merge import LANES, _lex_gt, _roll, mosaic_params
+from rdst_tpu.ops.pallas_merge import (
+    LANES, _lex_gt, _roll, mosaic_params, sds_like,
+)
 
 __all__ = ["fused_sort", "fused_sort_available", "MIN_ELEMS"]
 
@@ -274,7 +276,7 @@ def _tail_call(planes, n, block, n_keys, levels, unflip_shift, interpret):
         grid=(nblk,),
         in_specs=[spec() for _ in planes],
         out_specs=[spec() for _ in planes],
-        out_shape=[jax.ShapeDtypeStruct(p.shape, p.dtype) for p in shaped],
+        out_shape=[sds_like(p) for p in shaped],
         interpret=interpret,
         **mosaic_params(1, interpret),
     )(*shaped)
@@ -334,7 +336,7 @@ def _span_call(planes, n, s_hi, s_lo, two_r, block, n_keys, interpret):
         grid=(a_dim, w_cells),
         in_specs=[spec() for _ in planes],
         out_specs=[spec() for _ in planes],
-        out_shape=[jax.ShapeDtypeStruct(p.shape, p.dtype) for p in shaped],
+        out_shape=[sds_like(p) for p in shaped],
         interpret=interpret,
         **mosaic_params(2, interpret),
     )(*shaped)

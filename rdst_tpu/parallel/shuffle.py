@@ -504,6 +504,24 @@ def _exchange_raw(
 ):
     """The bare collective: returns (received planes, validity mask,
     valid count)."""
+    if D == 1:
+        # degenerate 1-device axis: the exchange is an identity (the
+        # single send segment covers the whole resident shard at offset
+        # 0).  Skipping the collective both saves work and sidesteps a
+        # measured size-dependent libtpu runtime fault in 1-device
+        # ragged_all_to_all (works <= 2^20, "TPU backend error
+        # (Internal)" at 2^22 — round 4, lax and fused locals alike).
+        tail = capacity - n_local
+        out_planes = [
+            jnp.concatenate(
+                [a, jnp.full((tail,), a.dtype.type(PAD_WORD), a.dtype)]
+            )
+            if tail > 0 else a[:capacity]
+            for a in planes
+        ]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (capacity,), 0)
+        n_valid = jnp.sum(send_sizes)
+        return out_planes, pos < n_valid, n_valid
     # size matrix via all_gather -> offsets in receiver buffers
     size_matrix = jax.lax.all_gather(send_sizes, axis)  # (D, D)[sender, dst]
     recv_sizes = size_matrix[:, me]  # what each sender sends me
