@@ -361,5 +361,12 @@ def argsort(keys_arr, *, stable: bool = True):
     if not stable:
         _, out = sort_key_value(keys_arr, idx, stable=False)
         return out
+    if len(fields) == 1 and isinstance(fields[0], np.ndarray):
+        # small single-key numpy inputs keep the host-native fast path
+        # (the host LSD radix is stable, so key + iota payload IS the
+        # stable permutation — no composite wrapping that would bail it)
+        host = RadixSortBuilder(fields[0], [idx])._try_host_sort(n)
+        if host is not None:
+            return host[1][0]
     out = RadixSortBuilder(tuple(fields + [idx])).sort()
     return out[-1]

@@ -58,6 +58,33 @@ low_mem_threshold_bytes = int(
 #: Algorithm or supplying a custom tuner always runs the device plans.
 host_sort_max = int(os.environ.get("RDST_TPU_HOST_SORT_MAX", str(1 << 18)))
 
+#: Stage-1 intermediate buffer headroom for the hierarchical (host, chip)
+#: exchange. Stage 1 lands each destination HOST's rows on the source
+#: chip's column-peer, so a chip's stage-1 receive load is bounded by the
+#: column's share of the host's incoming data, not by the final balanced
+#: per-chip capacity — skewed routing that funnels one host's rows
+#: through a single chip column can need more than ``capacity`` rows in
+#: flight even when the FINAL distribution fits. The stage-1 buffer is
+#: sized ``ceil(capacity * hier_stage1_headroom)``; overflow beyond that
+#: is detected (the poisoned count raises OverflowError in gather_valid).
+#: Measured (scripts/capacity_study.py, BENCH_NOTES round 5): uniform and
+#: bimodal route evenly (stage-1 load ~= final load); the headroom is
+#: insurance for adversarial funneling.
+hier_stage1_headroom = float(
+    os.environ.get("RDST_TPU_HIER_STAGE1_HEADROOM", "1.5")
+)
+
+#: Small-table replication bound for :func:`partition_exchange`. A
+#: partitioned dataset no larger than this many rows gets FULL-TABLE
+#: per-device capacity (any partition skew is covered — a device can
+#: never receive more rows than exist), so co-partitioning a small dim
+#: table against a skewed fact partition needs no mesh-size-scaled
+#: capacity_factor. Cost ceiling: this many rows x planes x 4 B per
+#: device (64 Ki rows ~ 1 MB for a 4-plane table).
+replicate_capacity_max = int(
+    os.environ.get("RDST_TPU_REPLICATE_CAP_MAX", str(1 << 16))
+)
+
 #: Presorted-input advantage (reference analog: lsb_sort.rs:62-83 skips
 #: newly-sorted levels at runtime; benches/struct_sort.rs:43-127 measures
 #: 90%-presorted inputs): when the histogram pass finds a sorted prefix

@@ -507,7 +507,10 @@ def fused_sort(
         )
         blk_b = max(blk_b, blk_s)
     else:
-        blk_s, blk_b = _pick_blocks(len(planes))
+        # a late marker adds one plane to the final piece and the last
+        # merges; budget blocks for that count so the scoped-VMEM
+        # invariant holds on every kernel invocation, not just most
+        blk_s, blk_b = _pick_blocks(len(planes) + (1 if late_marker else 0))
     m = min(row or ROW, min(blk_s, total) // 2)
     if total < 2 * LANES or m < 2 or min(blk_s, total) < 2 * LANES:
         out = jax.lax.sort(tuple(planes), num_keys=n_keys, is_stable=False)

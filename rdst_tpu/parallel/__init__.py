@@ -1,5 +1,6 @@
 from rdst_tpu.parallel.shuffle import (
     distributed_sort,
+    distributed_sort_auto,
     partition_exchange,
     gather_valid,
     make_mesh,
@@ -15,6 +16,7 @@ from rdst_tpu.parallel.dtable import (
 
 __all__ = [
     "distributed_sort",
+    "distributed_sort_auto",
     "partition_exchange",
     "gather_valid",
     "make_mesh",

@@ -41,8 +41,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from rdst_tpu.ops.prefix import exclusive_prefix_sum
 
 __all__ = [
-    "distributed_sort", "partition_exchange", "make_mesh", "make_mesh_2d",
-    "init_distributed",
+    "distributed_sort", "distributed_sort_auto", "partition_exchange",
+    "make_mesh", "make_mesh_2d", "init_distributed",
 ]
 
 #: Partition granularity: top 16 bits. The reference's MSB level is one
@@ -191,6 +191,7 @@ def _local_shard_body(
     axis: str,
     n_send_words: int,
     capacity: int,
+    stage1_cap: int,
     stable: bool,
     use_ragged: bool,
     split_uniform: bool,
@@ -306,6 +307,7 @@ def _local_shard_body(
     out_planes, n_valid = _exchange_and_finish(
         sorted_all, n_keys, input_offsets, send_sizes, capacity, stable,
         use_ragged, axis, D, me, n_local, overlap=overlap,
+        stage1_cap=stage1_cap,
     )
     outs = tuple(out_planes) + (n_valid[None],)
     if return_partition:
@@ -322,9 +324,86 @@ def _local_shard_body(
     return outs
 
 
+def _hier_phase(
+    planes, n_keys, input_offsets, send_sizes, capacity, stage1_cap,
+    stable, use_ragged, axes, n_local,
+):
+    """One run of the two-stage hierarchical exchange + local sort.
+
+    ``send_sizes`` may be sender-masked all-or-nothing by the overlapped
+    caller (a masked-out device sends nothing this phase).  Returns
+    (locally sorted ``capacity``-length planes LED by a validity plane —
+    ``[validity, keys..., (src,) payloads...]`` — and the poisoned
+    receive count).  The validity plane lets the overlapped caller merge
+    two phases; :func:`_hier_exchange_and_finish` strips it.
+    """
+    host_ax, chip_ax = axes
+    H = jax.lax.psum(1, host_ax)
+    C = jax.lax.psum(1, chip_ax)
+    h_me = jax.lax.axis_index(host_ax)
+    c_me = jax.lax.axis_index(chip_ax)
+    me = h_me * C + c_me
+
+    # per-element flat destination (staircase over segment ends)
+    ends = (input_offsets + send_sizes).astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_local,), 0)
+    dest = jnp.searchsorted(ends, iota, side="right").astype(jnp.uint32)
+    ex_planes = list(planes) + [dest]
+    if stable:
+        ex_planes.append(jnp.full((n_local,), me, jnp.uint32))
+
+    # stage 1: host-contiguous blocks along the DCN axis. The
+    # intermediate buffer gets its own (larger) capacity: a chip's
+    # stage-1 load is its column's share of the host's incoming data,
+    # which skewed routing can push past the final balanced per-chip
+    # capacity (config.hier_stage1_headroom).
+    hs_sizes = jnp.sum(send_sizes.reshape(H, C), axis=1)
+    hs_offsets = input_offsets.reshape(H, C)[:, 0]
+    p1, valid1, n1 = _exchange_raw(
+        ex_planes, hs_offsets, hs_sizes, stage1_cap, use_ragged, host_ax,
+        H, h_me, n_local,
+    )
+
+    # stage 2: regroup by destination chip (pads route to C, sort last)
+    dest1 = p1[len(planes)]
+    route = jnp.where(
+        valid1, dest1 % jnp.uint32(jnp.maximum(C, 1)), jnp.uint32(C)
+    )
+    srt = _local_sort(tuple([route] + p1), 1, True)
+    routed = list(srt[1:])
+    bounds = jnp.searchsorted(
+        srt[0], jnp.arange(C + 1, dtype=jnp.uint32), side="left"
+    ).astype(jnp.int32)
+    # routed length is stage1_cap (ragged) or H*stage1_cap (dense emu)
+    p2, valid2, n2 = _exchange_raw(
+        routed, bounds[:-1], bounds[1:] - bounds[:-1], capacity,
+        use_ragged, chip_ax, C, c_me, routed[0].shape[0],
+    )
+
+    out = p2[: len(planes)]
+    validity = jnp.where(valid2, np.uint32(0), np.uint32(1))
+    if stable:
+        # source plane follows the keys in compare order; riders after
+        src = p2[len(planes) + 1]
+        sort_planes = [validity] + out[:n_keys] + [src] + out[n_keys:]
+        nk_sort = 2 + n_keys
+    else:
+        sort_planes = [validity] + out
+        nk_sort = 1 + n_keys
+    finished = [
+        p[:capacity] for p in _local_sort(tuple(sort_planes), nk_sort,
+                                          stable)
+    ]
+    # the reported count is the FINAL receive count (n2); a stage-1
+    # intermediate overflow (n1 > stage1_cap: rows were dropped) poisons
+    # it past capacity so gather_valid raises the OverflowError signal
+    n_valid = jnp.where(n1 > stage1_cap, jnp.maximum(n1, n2), n2)
+    return finished, n_valid
+
+
 def _hier_exchange_and_finish(
     planes, n_keys, input_offsets, send_sizes, capacity, stable,
-    use_ragged, axes, n_local,
+    use_ragged, axes, n_local, overlap=False, stage1_cap=None,
 ):
     """Two-stage hierarchical exchange over a (host, chip) mesh.
 
@@ -344,67 +423,71 @@ def _hier_exchange_and_finish(
     carries a source-device plane and the final sort tiebreaks on it
     (each source's internal order survives every stage — all interchanges
     are segment-order-preserving and the route sort is stable).
+
+    ``overlap=True`` splits by sender HOST half: hosts < H/2 run the full
+    two-stage exchange in phase 1, the rest in phase 2, and phase 1's
+    local sort can hide under phase 2's collectives (the same
+    sender-half pipelining as the 1-axis path).  The two sorted capacity
+    buffers combine with the fused bitonic merge on (validity, keys);
+    phase-1 senders all precede phase-2 senders in flat order and the
+    merge's a-side wins ties, so stable mode survives (each phase's
+    output is already in (key, source, arrival) order internally).
     """
-    host_ax, chip_ax = axes
-    H = jax.lax.psum(1, host_ax)
-    C = jax.lax.psum(1, chip_ax)
-    h_me = jax.lax.axis_index(host_ax)
-    c_me = jax.lax.axis_index(chip_ax)
-    me = h_me * C + c_me
+    if stage1_cap is None:
+        from rdst_tpu import config
 
-    # per-element flat destination (staircase over segment ends)
-    ends = (input_offsets + send_sizes).astype(jnp.int32)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n_local,), 0)
-    dest = jnp.searchsorted(ends, iota, side="right").astype(jnp.uint32)
-    ex_planes = list(planes) + [dest]
-    if stable:
-        ex_planes.append(jnp.full((n_local,), me, jnp.uint32))
-
-    # stage 1: host-contiguous blocks along the DCN axis
-    hs_sizes = jnp.sum(send_sizes.reshape(H, C), axis=1)
-    hs_offsets = input_offsets.reshape(H, C)[:, 0]
-    p1, valid1, n1 = _exchange_raw(
-        ex_planes, hs_offsets, hs_sizes, capacity, use_ragged, host_ax, H,
-        h_me, n_local,
-    )
-
-    # stage 2: regroup by destination chip (pads route to C, sort last)
-    dest1 = p1[len(planes)]
-    route = jnp.where(
-        valid1, dest1 % jnp.uint32(jnp.maximum(C, 1)), jnp.uint32(C)
-    )
-    srt = _local_sort(tuple([route] + p1), 1, True)
-    routed = list(srt[1:])
-    bounds = jnp.searchsorted(
-        srt[0], jnp.arange(C + 1, dtype=jnp.uint32), side="left"
-    ).astype(jnp.int32)
-    # routed length is capacity (ragged) or H*capacity (dense emulation)
-    p2, valid2, n2 = _exchange_raw(
-        routed, bounds[:-1], bounds[1:] - bounds[:-1], capacity,
-        use_ragged, chip_ax, C, c_me, routed[0].shape[0],
-    )
-
-    out = p2[: len(planes)]
-    if stable:
-        # source plane follows the keys in compare order; riders after
-        src = p2[len(planes) + 1]
-        sort_planes = out[:n_keys] + [src] + out[n_keys:]
-        finished = _finish_sort(
-            sort_planes, valid2, n_keys + 1, capacity, True
+        stage1_cap = max(
+            int(np.ceil(capacity * config.hier_stage1_headroom)), capacity
         )
-        finished = finished[:n_keys] + finished[n_keys + 1 :]
-    else:
-        finished = _finish_sort(out, valid2, n_keys, capacity, False)
-    # the reported count is the FINAL receive count (n2); a stage-1
-    # intermediate overflow (n1 > capacity: rows were dropped) poisons it
-    # past capacity so gather_valid raises the OverflowError signal
-    n_valid = jnp.where(n1 > capacity, jnp.maximum(n1, n2), n2)
-    return finished, n_valid
+    host_ax, _ = axes
+    H = jax.lax.psum(1, host_ax)
+    if overlap and H > 1:
+        half = H // 2
+        h_me = jax.lax.axis_index(host_ax)
+        sizes1 = jnp.where(h_me < half, send_sizes, 0)
+        sizes2 = send_sizes - sizes1
+        q1, v1 = _hier_phase(
+            planes, n_keys, input_offsets, sizes1, capacity, stage1_cap,
+            stable, use_ragged, axes, n_local,
+        )
+        q2, v2 = _hier_phase(
+            planes, n_keys, input_offsets, sizes2, capacity, stage1_cap,
+            stable, use_ragged, axes, n_local,
+        )
+        from rdst_tpu.ops.merge import merge_sorted
+
+        cap2 = 1 << max(0, (capacity - 1).bit_length())
+
+        def padp(p):
+            fill = p.dtype.type(PAD_WORD)
+            return (
+                jnp.concatenate(
+                    [p, jnp.full((cap2 - capacity,), fill, p.dtype)]
+                )
+                if cap2 > capacity else p
+            )
+
+        merged = merge_sorted(
+            [padp(p) for p in q1], [padp(p) for p in q2], 1 + n_keys,
+            stable=stable,
+        )
+        out = [p[:capacity] for p in merged[1:]]
+        if stable:
+            out = out[:n_keys] + out[n_keys + 1 :]
+        return out, v1 + v2
+    q, nv = _hier_phase(
+        planes, n_keys, input_offsets, send_sizes, capacity, stage1_cap,
+        stable, use_ragged, axes, n_local,
+    )
+    out = q[1:]
+    if stable:
+        out = out[:n_keys] + out[n_keys + 1 :]
+    return out, nv
 
 
 def _exchange_and_finish(
     planes, n_keys, input_offsets, send_sizes, capacity, stable,
-    use_ragged, axis, D, me, n_local, overlap=False,
+    use_ragged, axis, D, me, n_local, overlap=False, stage1_cap=None,
 ):
     """Ragged all-to-all of contiguous send segments + local re-sort.
 
@@ -429,7 +512,8 @@ def _exchange_and_finish(
     if isinstance(axis, tuple):
         return _hier_exchange_and_finish(
             planes, n_keys, input_offsets, send_sizes, capacity, stable,
-            use_ragged, axis, n_local,
+            use_ragged, axis, n_local, overlap=overlap,
+            stage1_cap=stage1_cap,
         )
     if overlap and D > 1:
         half = D // 2
@@ -581,18 +665,19 @@ def _exchange_raw(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "axis", "n_key_words", "capacity", "stable", "use_ragged",
-        "split_uniform", "return_partition", "overlap",
+        "mesh", "axis", "n_key_words", "capacity", "stage1_cap", "stable",
+        "use_ragged", "split_uniform", "return_partition", "overlap",
     ),
 )
 def _distributed_sort_jit(
     arrs, mesh: Mesh, axis: str, n_key_words: int, capacity: int,
-    stable: bool, use_ragged: bool, split_uniform: bool = True,
-    return_partition: bool = False, overlap: bool = False,
+    stage1_cap: int, stable: bool, use_ragged: bool,
+    split_uniform: bool = True, return_partition: bool = False,
+    overlap: bool = False,
 ):
     body = functools.partial(
-        _local_shard_body, axis, n_key_words, capacity, stable, use_ragged,
-        split_uniform, return_partition, overlap,
+        _local_shard_body, axis, n_key_words, capacity, stage1_cap, stable,
+        use_ragged, split_uniform, return_partition, overlap,
     )
     n_arr = len(arrs)
     n_part = 4 if return_partition else 0
@@ -617,6 +702,7 @@ def _partition_body(
     axis: str,
     n_key_words: int,
     capacity: int,
+    stage1_cap: int,
     stable: bool,
     use_ragged: bool,
     overlap: bool,
@@ -649,6 +735,7 @@ def _partition_body(
     out_planes, n_valid = _exchange_and_finish(
         planes_sorted, n_keys, input_offsets, send_sizes, capacity, stable,
         use_ragged, axis, D, me, n_local, overlap=overlap,
+        stage1_cap=stage1_cap,
     )
     return tuple(out_planes) + (n_valid[None],)
 
@@ -656,17 +743,18 @@ def _partition_body(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "axis", "n_key_words", "capacity", "stable", "use_ragged",
-        "overlap",
+        "mesh", "axis", "n_key_words", "capacity", "stage1_cap", "stable",
+        "use_ragged", "overlap",
     ),
 )
 def _partition_exchange_jit(
     arrs, partition, mesh: Mesh, axis: str, n_key_words: int,
-    capacity: int, stable: bool, use_ragged: bool, overlap: bool = False,
+    capacity: int, stage1_cap: int, stable: bool, use_ragged: bool,
+    overlap: bool = False,
 ):
     body = functools.partial(
-        _partition_body, axis, n_key_words, capacity, stable, use_ragged,
-        overlap,
+        _partition_body, axis, n_key_words, capacity, stage1_cap, stable,
+        use_ragged, overlap,
     )
     n_arr = len(arrs)
     fn = jax.shard_map(
@@ -706,26 +794,33 @@ def partition_exchange(
 
     Same return convention as :func:`distributed_sort`.
     """
+    from rdst_tpu import config
+
     if isinstance(axis, (tuple, list)):
         axis = tuple(axis)
-        if overlap_exchange:
-            raise NotImplementedError(
-                "overlap_exchange applies to the 1-axis exchange"
-            )
     D = mesh.devices.size
     n = int(words[0].shape[0])
     if n % D != 0:
         raise ValueError(f"global length {n} not divisible by mesh size {D}")
     n_local = n // D
-    capacity = max(int(np.ceil(capacity_factor * n_local)), 16)
+    capacity = int(np.ceil(capacity_factor * n_local))
+    if n <= config.replicate_capacity_max:
+        # replication-aware floor: a device can never receive more rows
+        # than exist, so full-table capacity covers ANY partition skew
+        # for small (dim) tables without a mesh-size-scaled factor
+        capacity = max(capacity, n)
+    capacity = max(capacity, 16)
     arrs = tuple(words) + tuple(payloads)
     sharding = NamedSharding(mesh, P(axis))
     arrs = tuple(jax.device_put(a, sharding) for a in arrs)
     if use_ragged is None:
         use_ragged = jax.default_backend() == "tpu"
+    stage1_cap = max(
+        int(np.ceil(capacity * config.hier_stage1_headroom)), capacity
+    )
     out, counts = _partition_exchange_jit(
-        arrs, tuple(partition), mesh, axis, len(words), capacity, stable,
-        use_ragged, overlap=overlap_exchange,
+        arrs, tuple(partition), mesh, axis, len(words), capacity,
+        stage1_cap, stable, use_ragged, overlap=overlap_exchange,
     )
     k = len(words)
     return list(out[:k]), list(out[k:]), counts
@@ -764,14 +859,11 @@ def distributed_sort(
     A 2-axis mesh (``make_mesh_2d``) with ``axis=mesh.axis_names`` runs
     the hierarchical (host, chip) exchange: contiguous per-host blocks
     over DCN, then an intra-host ICI regroup (_hier_exchange_and_finish).
+    ``overlap_exchange`` there splits by sender-host half (no-op pipelined
+    into a single phase when the host axis has one device).
     """
     if isinstance(axis, (tuple, list)):
         axis = tuple(axis)
-        if overlap_exchange:
-            raise NotImplementedError(
-                "overlap_exchange applies to the 1-axis exchange; the "
-                "hierarchical path already pipelines its two stages"
-            )
     D = mesh.devices.size
     n = int(words[0].shape[0])
     if n % D != 0:
@@ -784,15 +876,62 @@ def distributed_sort(
     arrs = tuple(jax.device_put(a, sharding) for a in arrs)
     if use_ragged is None:
         use_ragged = jax.default_backend() == "tpu"
+    from rdst_tpu import config
+
+    stage1_cap = max(
+        int(np.ceil(capacity * config.hier_stage1_headroom)), capacity
+    )
     out, counts, partition = _distributed_sort_jit(
-        arrs, mesh, axis, len(words), capacity, stable, use_ragged,
-        split_uniform=split_uniform, return_partition=return_partition,
-        overlap=overlap_exchange,
+        arrs, mesh, axis, len(words), capacity, stage1_cap, stable,
+        use_ragged, split_uniform=split_uniform,
+        return_partition=return_partition, overlap=overlap_exchange,
     )
     k = len(words)
     if return_partition:
         return list(out[:k]), list(out[k:]), counts, partition
     return list(out[:k]), list(out[k:]), counts
+
+
+def distributed_sort_auto(
+    words: Sequence[jax.Array],
+    payloads: Sequence[jax.Array] = (),
+    *,
+    mesh: Mesh,
+    capacity_factor: float = 1.5,
+    max_capacity_factor: float = 16.0,
+    **kwargs,
+):
+    """:func:`distributed_sort` with automatic overflow retry.
+
+    Extreme skew (a hot bucket holding many distinct keys beyond the
+    16 window bits) can demand more rows on one device than the
+    ``capacity_factor``-sized buffer holds; plain ``distributed_sort``
+    reports that through counts and :func:`gather_valid` raises
+    OverflowError (the reference's analog is scanning_sort's
+    uniform_threshold skew handling, scanning_sort.rs:109-126 — a static
+    plan with a detectable escape). This wrapper inspects the counts and
+    DOUBLES the factor until every device fits or ``max_capacity_factor``
+    is exceeded. Each retry recompiles (capacity is a static shape), so
+    callers with a known skew bound should size ``capacity_factor``
+    directly; measured overflow incidence per distribution is tabled in
+    BENCH_NOTES (scripts/capacity_study.py).
+    """
+    f = capacity_factor
+    D = mesh.devices.size
+    while True:
+        out = distributed_sort(
+            words, payloads, mesh=mesh, capacity_factor=f, **kwargs
+        )
+        counts = np.asarray(out[2])
+        cap = out[0][0].shape[0] // D
+        if int(counts.max(initial=0)) <= cap:
+            return out
+        if f >= max_capacity_factor:
+            raise OverflowError(
+                f"device demand {int(counts.max())} rows > capacity {cap} "
+                f"at capacity_factor={f} (max {max_capacity_factor})"
+            )
+        f = min(f * 2.0, max_capacity_factor)
 
 
 def gather_valid(planes: Sequence[jax.Array], counts) -> list[np.ndarray]:

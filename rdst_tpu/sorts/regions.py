@@ -68,9 +68,14 @@ def chunked_sort(
         chunk = [p[c * m : (c + 1) * m] for p in planes]
         # always stable: the merge tiebreak planes preserve cross-chunk
         # order, but within-chunk order must already be stable for the
-        # stable=True contract (and pads must stay behind equal real keys)
-        srt = jax.lax.sort(tuple(chunk), num_keys=n_words, is_stable=True)
-        runs.append(list(srt))
+        # stable=True contract (and pads must stay behind equal real keys).
+        # Enter via comparative_sort so pow2 chunks ride the fused
+        # reversal-free executor (measured 1.1-1.6x over lax.sort) instead
+        # of forfeiting it in exactly the regime the memory gate engages.
+        cw, cp = comparative_sort(
+            chunk[:n_words], chunk[n_words:], stable=True
+        )
+        runs.append(cw + cp)
 
     merged = merge_many(runs, n_words, stable=True)
     out = [p[:n] for p in merged]

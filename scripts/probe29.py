@@ -7,7 +7,12 @@
            "in-VMEM block sort", buildable since probe24's deep blocks.
 
 Measured at production geometry over 1/2/3 planes and 2^22-2^25; the
-loser gets deleted (BENCH_NOTES records the table).
+loser got DELETED (commit 70f4578; BENCH_NOTES round-4 records the
+table).  The A/B is therefore HISTORICAL: the ``phase0`` kwarg no longer
+exists, and this probe now re-times only the surviving ``net`` path (the
+numbers remain comparable against the frozen vmem column in
+BENCH_NOTES).  To re-run the original A/B, check out the tree just
+before 70f4578.
 
 Run:  timeout 1150 python scripts/probe29.py
 """
@@ -62,11 +67,10 @@ def main():
                 jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
                 for _ in range(planes)
             ]
-            for mode in ("net", "vmem"):
-                def run(a, mode=mode, planes=planes):
-                    ks, _ = fused_sort(list(a), [], phase0=mode)
-                    return tuple(ks)
-                bench(f"2^{logn} {planes}p {mode}", run, tuple(ws), n)
+            def run(a, planes=planes):
+                ks, _ = fused_sort(list(a), [])
+                return tuple(ks)
+            bench(f"2^{logn} {planes}p net", run, tuple(ws), n)
 
 
 if __name__ == "__main__":

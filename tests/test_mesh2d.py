@@ -24,8 +24,12 @@ from rdst_tpu.parallel import (
 from rdst_tpu.table import Table
 
 
-@pytest.fixture(scope="module", params=[(2, 4), (4, 2)])
+@pytest.fixture(
+    scope="module", params=[(2, 4), (4, 2), (1, 8), (8, 1)]
+)
 def mesh2(request):
+    # (1, 8) and (8, 1) are the degenerate-axis shapes where the
+    # dest % C routing and host-major flat-index math would break first
     H, C = request.param
     assert jax.device_count() >= H * C
     return make_mesh_2d(H, C)
@@ -101,12 +105,24 @@ def test_hier_matches_flat(mesh2, rng):
         np.testing.assert_array_equal(a, b)
 
 
-def test_hier_overlap_rejected(mesh2, rng):
-    x = rng.integers(0, 2**32, size=1 << 10, dtype=np.uint32)
-    with pytest.raises(NotImplementedError):
-        distributed_sort(
-            [x], mesh=mesh2, axis=mesh2.axis_names, overlap_exchange=True
-        )
+def test_hier_overlap_parity(mesh2, rng):
+    """Sender-host-half overlapped hierarchical exchange is bitwise
+    identical to the sequential one (stable payloads included)."""
+    n = 1 << 12
+    x = rng.integers(0, 2**16, size=n, dtype=np.uint64)  # duplicates
+    pay = np.arange(n, dtype=np.uint32)
+    w1, p1, c1 = distributed_sort(
+        _u64_planes(x), [pay], mesh=mesh2, axis=mesh2.axis_names,
+        stable=True,
+    )
+    w2, p2, c2 = distributed_sort(
+        _u64_planes(x), [pay], mesh=mesh2, axis=mesh2.axis_names,
+        stable=True, overlap_exchange=True,
+    )
+    d1 = gather_valid(list(w1) + list(p1), c1)
+    d2 = gather_valid(list(w2) + list(p2), c2)
+    for a, b in zip(d1, d2):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_hier_table_pipeline(mesh2, rng):
@@ -149,10 +165,9 @@ def test_hier_table_pipeline(mesh2, rng):
             "name": (np.arange(40, dtype=np.uint32) * 3),
         }
     )
-    joined, n_matched = distributed_join(
-        t, dim, "grp", mesh=mesh2, axis=axes,
-        right_capacity_factor=float(mesh2.devices.size),
-    )
+    # no right_capacity_factor: the 40-row dim table rides the
+    # replication-aware full-table capacity floor (replicate_capacity_max)
+    joined, n_matched = distributed_join(t, dim, "grp", mesh=mesh2, axis=axes)
     assert int(n_matched) == n
     np.testing.assert_array_equal(
         np.asarray(joined["name"]), np.asarray(joined["grp"]) * 3

@@ -1,0 +1,176 @@
+"""Distributed skew/overflow hardening (VERDICT r4 item 4).
+
+The shuffle's static-capacity contract: extreme skew that a device's
+buffer cannot absorb must be DETECTED (OverflowError from gather_valid's
+demand-vs-capacity check), never silent row loss — the distributed analog
+of the reference's uniform_threshold skew handling (reference:
+src/sorts/scanning_sort.rs:109-126, a static plan with a detectable
+escape).  Covered here:
+
+* hot multi-distinct-key buckets overflowing a tight capacity_factor on
+  BOTH the 1-axis and the 2-axis (host, chip) mesh,
+* the 2-axis STAGE-1 intermediate overflow (column funneling) poisoning
+  the reported count even when the final distribution fits,
+* ``distributed_sort_auto`` doubling the factor until the exchange fits,
+* ``config.hier_stage1_headroom`` absorbing the stage-1 funnel.
+"""
+import numpy as np
+import pytest
+
+from rdst_tpu import config
+from rdst_tpu.parallel import (
+    distributed_sort,
+    distributed_sort_auto,
+    gather_valid,
+    make_mesh,
+    make_mesh_2d,
+)
+
+
+def _u64_planes(x):
+    hi = (x >> np.uint64(32)).astype(np.uint32)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return [hi, lo]
+
+
+def _hot_bucket_input(rng, n):
+    """~88% of rows in one multi-distinct-key bucket (256 distinct keys
+    below 2^8 while 12% span the full u64 range, so the adaptive window
+    collapses the hot mass into bucket 0 — atomic, unsplittable)."""
+    x = rng.integers(0, 1 << 8, size=n, dtype=np.uint64)
+    x[: n // 8] = rng.integers(0, 2**64, size=n // 8, dtype=np.uint64)
+    return x
+
+
+def test_overflow_1axis(rng):
+    mesh = make_mesh(8)
+    n = 1 << 12
+    x = _hot_bucket_input(rng, n)
+    words, _, counts = distributed_sort(
+        _u64_planes(x), mesh=mesh, capacity_factor=1.1
+    )
+    assert int(np.asarray(counts).max()) > words[0].shape[0] // 8
+    with pytest.raises(OverflowError):
+        gather_valid(words, counts)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (8, 1), (1, 8)])
+def test_overflow_2axis(rng, shape):
+    mesh2 = make_mesh_2d(*shape)
+    n = 1 << 12
+    x = _hot_bucket_input(rng, n)
+    words, _, counts = distributed_sort(
+        _u64_planes(x), mesh=mesh2, axis=mesh2.axis_names,
+        capacity_factor=1.1,
+    )
+    with pytest.raises(OverflowError):
+        gather_valid(words, counts)
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_auto_retry_converges(rng, overlap):
+    mesh = make_mesh(8)
+    n = 1 << 12
+    x = _hot_bucket_input(rng, n)
+    pay = np.arange(n, dtype=np.uint32)
+    words, payloads, counts = distributed_sort_auto(
+        _u64_planes(x), [pay], mesh=mesh, capacity_factor=1.1,
+        stable=True, overlap_exchange=overlap,
+    )
+    dense = gather_valid(list(words) + list(payloads), counts)
+    got = (dense[0].astype(np.uint64) << np.uint64(32)) | dense[1].astype(
+        np.uint64
+    )
+    np.testing.assert_array_equal(got, np.sort(x))
+    order = np.argsort(x, kind="stable")
+    np.testing.assert_array_equal(dense[2], pay[order])
+
+
+def test_auto_retry_2axis(rng):
+    mesh2 = make_mesh_2d(2, 4)
+    n = 1 << 12
+    x = _hot_bucket_input(rng, n)
+    words, _, counts = distributed_sort_auto(
+        _u64_planes(x), mesh=mesh2, axis=mesh2.axis_names,
+        capacity_factor=1.1,
+    )
+    dense = gather_valid(words, counts)
+    got = (dense[0].astype(np.uint64) << np.uint64(32)) | dense[1].astype(
+        np.uint64
+    )
+    np.testing.assert_array_equal(got, np.sort(x))
+
+
+def _column_funnel_input(rng, H, C, n_local):
+    """Shard-major input where chip COLUMN 0 holds every row destined to
+    the top-half hosts: stage 1 funnels ~half the data through column 0,
+    so its stage-1 intermediate load is ~C x its final balanced load."""
+    n = H * C * n_local
+    lo = rng.integers(0, 1 << 31, size=n, dtype=np.uint32)
+    hi = rng.integers(1 << 31, 1 << 32, size=n, dtype=np.uint32).astype(
+        np.uint32
+    )
+    x = np.empty(n, dtype=np.uint32)
+    for h in range(H):
+        for c in range(C):
+            s = (h * C + c) * n_local
+            # column 0 shards carry high keys (destined to the top-half
+            # hosts), the rest carry low keys
+            x[s : s + n_local] = (
+                hi[s : s + n_local] if c == 0 else lo[s : s + n_local]
+            )
+    return x
+
+
+def test_stage1_poisoning_and_headroom(rng):
+    """Final distribution fits, but the stage-1 funnel exceeds the
+    intermediate buffer -> poisoned count raises; enough
+    hier_stage1_headroom absorbs it (same data, same factor)."""
+    H, C = 2, 4
+    mesh2 = make_mesh_2d(H, C)
+    n_local = 1 << 9
+    x = _column_funnel_input(rng, H, C, n_local)
+    # high keys are 4/8 shards = half the data -> host 1's chips each
+    # receive ~n_local rows finally (fits 1.3x), but chip (1, 0) sees
+    # ALL of host 1's rows (~4 * n_local) in stage 1
+    old = config.hier_stage1_headroom
+    try:
+        config.hier_stage1_headroom = 1.0
+        words, _, counts = distributed_sort(
+            [x], mesh=mesh2, axis=mesh2.axis_names, capacity_factor=1.3
+        )
+        with pytest.raises(OverflowError):
+            gather_valid(words, counts)
+
+        config.hier_stage1_headroom = float(C + 1)
+        words, _, counts = distributed_sort(
+            [x], mesh=mesh2, axis=mesh2.axis_names, capacity_factor=1.3
+        )
+        dense = gather_valid(words, counts)
+        np.testing.assert_array_equal(dense[0], np.sort(x))
+    finally:
+        config.hier_stage1_headroom = old
+
+
+def test_small_right_replication_floor(rng):
+    """partition_exchange gives small tables full-table capacity: a
+    32-row dim table co-partitions against a SKEWED fact partition with
+    the default factor (no mesh-size-scaled right_capacity_factor)."""
+    from rdst_tpu.parallel import partition_exchange
+
+    mesh = make_mesh(8)
+    n = 1 << 12
+    # skewed fact: most rows hold key 7 -> its bucket (and the dim row
+    # for key 7) lands on one device
+    fact = np.full(n, 7, dtype=np.uint32)
+    fact[: n // 4] = rng.integers(0, 32, size=n // 4).astype(np.uint32)
+    _, _, counts, part = distributed_sort(
+        [fact], mesh=mesh, split_uniform=False, return_partition=True,
+        capacity_factor=2.0,
+    )
+    dim = np.arange(32, dtype=np.uint32).repeat(2)  # 64 rows, div by 8
+    rwords, _, rcounts = partition_exchange(
+        [dim], [], part, mesh=mesh, capacity_factor=2.0
+    )
+    dense = gather_valid(rwords, rcounts)
+    assert sorted(dense[0].tolist()) == sorted(dim.tolist())
