@@ -74,6 +74,19 @@ hier_stage1_headroom = float(
     os.environ.get("RDST_TPU_HIER_STAGE1_HEADROOM", "1.5")
 )
 
+#: Hot-bucket refinement depth for the distributed shuffle's partition
+#: (shuffle._refined_assignment). Each level re-windows THE hottest
+#: multi-key bucket with a fresh 16-bit window over its own key range —
+#: the distributed analog of the reference's per-bucket depth recursion
+#: (sorter.rs:121-171). 2 levels (48 effective window bits) balance
+#: every distribution in scripts/capacity_study.py (bimodal demand
+#: 4.0 -> ~1.0, zipf 3.9 -> ~1.0); mass hidden below 48 adaptive window
+#: bits still falls back to atomic assignment + the OverflowError /
+#: distributed_sort_auto escape. 0 disables refinement.
+shuffle_refine_levels = int(
+    os.environ.get("RDST_TPU_REFINE_LEVELS", "2")
+)
+
 #: Small-table replication bound for :func:`partition_exchange`. A
 #: partitioned dataset no larger than this many rows gets FULL-TABLE
 #: per-device capacity (any partition skew is covered — a device can

@@ -72,7 +72,7 @@ def distributed_sort_table(
     *,
     mesh: Mesh,
     axis: str = "shard",
-    capacity_factor: float = 2.0,
+    capacity_factor: float = 1.5,
     stable: bool = True,
     overlap_exchange: bool = False,
 ):
@@ -340,7 +340,7 @@ def distributed_group_aggregate(
     *,
     mesh: Mesh,
     axis: str = "shard",
-    capacity_factor: float = 2.0,
+    capacity_factor: float = 1.5,
     overlap_exchange: bool = False,
 ):
     """Shuffle-then-local GROUP BY, finished entirely inside the mesh.
@@ -554,7 +554,7 @@ def distributed_join(
     axis: str = "shard",
     how: str = "inner",
     suffix: str = "_r",
-    capacity_factor: float = 2.0,
+    capacity_factor: float = 1.5,
     right_capacity_factor: float | None = None,
     join_capacity_factor: float = 1.0,
     overlap_exchange: bool = False,

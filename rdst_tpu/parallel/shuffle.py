@@ -52,9 +52,14 @@ __all__ = [
 #: the next byte automatically. Hotter still (a single repeated key):
 #: single-key buckets are detected and split across devices by exact
 #: global stable rank, so even an all-equal input balances perfectly.
-#: The only residual overflow risk is a hot bucket containing MULTIPLE
-#: distinct keys beyond the 16 window bits; capacity_factor + the
-#: OverflowError signal cover that.
+#: A hot bucket containing MULTIPLE distinct keys beyond the 16 window
+#: bits refines recursively (config.shuffle_refine_levels fresh 16-bit
+#: windows over the hottest bucket's own range — _refined_assignment);
+#: only mass hidden below ~48 adaptive window bits still concentrates,
+#: covered by capacity_factor + the OverflowError signal +
+#: distributed_sort_auto. Defaults are set from measured demand
+#: (scripts/capacity_study.py: max 1.11x fair share across uniform /
+#: bimodal / zipf-1.2 / low-entropy / sorted / all-equal / hot-multikey).
 N_BUCKETS = 1 << 16
 PAD_WORD = np.uint32(0xFFFFFFFF)
 
@@ -197,6 +202,7 @@ def _local_shard_body(
     split_uniform: bool,
     return_partition: bool,
     overlap: bool,
+    refine_levels: int,
     *arrs,
 ):
     """shard_map body. arrs = word planes + payload planes, local shards."""
@@ -244,6 +250,7 @@ def _local_shard_body(
     # exactly what the equality test needs (lower words only matter when
     # all higher words are constant, in which case first/last are the
     # true extrema for them too).
+    gmin_tbl, gmax_tbl = [], []
     if split_uniform:
         first_idx = jnp.clip(edges[:-1], 0, n_local - 1)
         last_idx = jnp.clip(edges[1:] - 1, 0, n_local - 1)
@@ -255,6 +262,8 @@ def _local_shard_body(
             gmin = jax.lax.pmin(lmin, axis)
             gmax = jax.lax.pmax(lmax, axis)
             uniform = uniform & (gmin == gmax)
+            gmin_tbl.append(gmin)
+            gmax_tbl.append(gmax)
     else:
         # co-partitioning mode (joins): every bucket stays atomic so a
         # second dataset partitioned by the same window lands key-aligned
@@ -299,7 +308,16 @@ def _local_shard_body(
         take_lt = jnp.where(uniform[None, :], take_uniform, take_atomic)
     else:
         take_lt = take_atomic
-    boundary = jnp.sum(take_lt, axis=1).astype(jnp.int32)  # (D+1,)
+    extra_take = jnp.zeros((D + 1,), jnp.int32)
+    if refine_levels > 0 and split_uniform and not return_partition and D > 1:
+        take_lt, extra_take = _refined_assignment(
+            sorted_all[:n_keys], edges, global_hist, uniform, take_lt,
+            bstart, Rd, total, D, me, axis, refine_levels, gmin_tbl,
+            gmax_tbl,
+        )
+    boundary = (jnp.sum(take_lt, axis=1) + extra_take).astype(
+        jnp.int32
+    )  # (D+1,)
     send_sizes = boundary[1:] - boundary[:-1]  # (D,)
     input_offsets = boundary[:-1]
 
@@ -322,6 +340,123 @@ def _local_shard_body(
         dev_start = dev_start.at[D].set(N_BUCKETS)
         outs = outs + (gmins, wshifts, wbits, dev_start)
     return outs
+
+
+def _refined_assignment(
+    words, edges, global_hist, uniform, take_lt, bstart, Rd, total, D, me,
+    axis, levels, gmin_tbl, gmax_tbl,
+):
+    """Hierarchical hot-bucket refinement — the distributed analog of the
+    reference's per-bucket depth recursion (sorter.rs:121-171).
+
+    The 16-bit entropy-adaptive window collapses any key mass sharing a
+    windowed prefix into ONE bucket; atomic assignment of a multi-key
+    hot bucket then caps balance at that bucket's size (measured before
+    this existed: bimodal-shift demand 4.0x of fair share on 8 devices,
+    zipf-1.2 3.9x — scripts/capacity_study.py). Each refinement level
+    re-partitions THE hottest multi-key bucket with a fresh 16-bit
+    window over its own key range, nested inside its global-rank
+    interval, reusing the same assignment rules: atomic midpoint for
+    mixed refined buckets, exact stable-rank splitting for single-key
+    refined buckets. Levels run unconditionally (static graph, one
+    (D, 2^16) gather + O(n) window pass each) and are masked to no-ops
+    when the hot bucket is small or single-key.
+
+    Returns (take_lt with refined chain heads zeroed, (D+1,) extra
+    boundary counts from the refined levels).
+    """
+    n_local = words[0].shape[0]
+    R = N_BUCKETS
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_local,), 0)
+    riota = jnp.arange(R, dtype=jnp.int32)
+
+    # chain head: the hottest level-0 bucket
+    hot = jnp.argmax(global_hist).astype(jnp.int32)
+    seg_lo = edges[hot]
+    seg_hi = edges[hot + 1]
+    base_rank = bstart[hot]
+    # refine only a multi-key bucket bigger than half a device share
+    active = (global_hist[hot] > total // (2 * D)) & (~uniform[hot])
+    take_lt = jnp.where(((riota == hot) & active)[None, :], 0, take_lt)
+    cmin = [g[hot] for g in gmin_tbl]
+    cmax = [g[hot] for g in gmax_tbl]
+
+    extra = jnp.zeros((D + 1,), jnp.int32)
+    sender_iota = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
+    for lvl in range(levels):
+        # fresh 16-bit window over the chain's own key range (span-based:
+        # words constant within the chain contribute zero bits)
+        remaining = jnp.int32(16)
+        rg, rs, rb = [], [], []
+        for wi in range(len(words)):
+            span = cmax[wi] - cmin[wi]
+            bl = _bit_length(span)
+            b = jnp.minimum(bl, remaining)
+            rg.append(cmin[wi])
+            rs.append((bl - b).astype(jnp.uint32))
+            rb.append(b)
+            remaining = remaining - b
+        rbuck = _apply_window(
+            words, jnp.stack(rg), jnp.stack(rs), jnp.stack(rb)
+        )
+        # confine to the chain segment with order-preserving markers so
+        # the refined histogram is one static-shape searchsorted
+        rkey = jnp.where(
+            iota < seg_lo, jnp.int32(-1),
+            jnp.where(iota >= seg_hi, jnp.int32(R), rbuck),
+        )
+        redges = jnp.searchsorted(
+            rkey, jnp.arange(R + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        rhist = redges[1:] - redges[:-1]
+        rmatrix = jax.lax.all_gather(rhist, axis)  # (D, R)
+        rglobal = jnp.sum(rmatrix, axis=0)
+        rcum = jnp.cumsum(rglobal)
+        rb_start = base_rank + rcum - rglobal  # global excl start / bucket
+        rcum_mid = base_rank + rcum - (rglobal + 1) // 2
+        o_me2 = jnp.sum(jnp.where(sender_iota < me, rmatrix, 0), axis=0)
+        # single-key detection per refined bucket (first/last extrema —
+        # exact for the most significant varying word, which is the one
+        # that decides equality)
+        first2 = jnp.clip(redges[:-1], 0, n_local - 1)
+        last2 = jnp.clip(redges[1:] - 1, 0, n_local - 1)
+        nonempty2 = rhist > 0
+        runi = jnp.ones((R,), jnp.bool_)
+        gmin2, gmax2 = [], []
+        for w in words:
+            lmin = jnp.where(nonempty2, jnp.take(w, first2), PAD_WORD)
+            lmax = jnp.where(nonempty2, jnp.take(w, last2), np.uint32(0))
+            gmn = jax.lax.pmin(lmin, axis)
+            gmx = jax.lax.pmax(lmax, axis)
+            runi = runi & (gmn == gmx)
+            gmin2.append(gmn)
+            gmax2.append(gmx)
+        atomic2 = (rcum_mid[None, :] < Rd[:, None]).astype(jnp.int32) * (
+            rhist[None, :]
+        )
+        cut2 = Rd[:, None] - (rb_start + o_me2)[None, :]
+        uni2 = jnp.clip(cut2, 0, rhist[None, :])
+        take2 = jnp.where(runi[None, :], uni2, atomic2)
+        # next chain link: hottest refined child, refinable iff multi-key
+        # and still big; its column defers to the next level. The LAST
+        # level never defers (no next level would assign those rows):
+        # its hot child stays in take2 under the atomic rule.
+        hot2 = jnp.argmax(rglobal).astype(jnp.int32)
+        active_next = (
+            active & (rglobal[hot2] > total // (2 * D)) & (~runi[hot2])
+            & (lvl < levels - 1)
+        )
+        take2 = jnp.where(((riota == hot2) & active_next)[None, :], 0,
+                          take2)
+        extra = extra + jnp.where(active, jnp.sum(take2, axis=1), 0)
+        # advance the chain
+        seg_lo = redges[hot2]
+        seg_hi = redges[hot2 + 1]
+        base_rank = rb_start[hot2]
+        cmin = [g[hot2] for g in gmin2]
+        cmax = [g[hot2] for g in gmax2]
+        active = active_next
+    return take_lt, extra
 
 
 def _hier_phase(
@@ -667,17 +802,18 @@ def _exchange_raw(
     static_argnames=(
         "mesh", "axis", "n_key_words", "capacity", "stage1_cap", "stable",
         "use_ragged", "split_uniform", "return_partition", "overlap",
+        "refine_levels",
     ),
 )
 def _distributed_sort_jit(
     arrs, mesh: Mesh, axis: str, n_key_words: int, capacity: int,
     stage1_cap: int, stable: bool, use_ragged: bool,
     split_uniform: bool = True, return_partition: bool = False,
-    overlap: bool = False,
+    overlap: bool = False, refine_levels: int = 0,
 ):
     body = functools.partial(
         _local_shard_body, axis, n_key_words, capacity, stage1_cap, stable,
-        use_ragged, split_uniform, return_partition, overlap,
+        use_ragged, split_uniform, return_partition, overlap, refine_levels,
     )
     n_arr = len(arrs)
     n_part = 4 if return_partition else 0
@@ -775,7 +911,7 @@ def partition_exchange(
     *,
     mesh: Mesh,
     axis: str = "shard",
-    capacity_factor: float = 2.0,
+    capacity_factor: float = 1.5,
     stable: bool = False,
     use_ragged: bool | None = None,
     overlap_exchange: bool = False,
@@ -832,7 +968,7 @@ def distributed_sort(
     *,
     mesh: Mesh,
     axis: str = "shard",
-    capacity_factor: float = 2.0,
+    capacity_factor: float = 1.5,
     stable: bool = False,
     split_uniform: bool = True,
     return_partition: bool = False,
@@ -885,6 +1021,7 @@ def distributed_sort(
         arrs, mesh, axis, len(words), capacity, stage1_cap, stable,
         use_ragged, split_uniform=split_uniform,
         return_partition=return_partition, overlap=overlap_exchange,
+        refine_levels=config.shuffle_refine_levels,
     )
     k = len(words)
     if return_partition:

@@ -36,16 +36,35 @@ def _u64_planes(x):
 def _hot_bucket_input(rng, n):
     """~88% of rows in one multi-distinct-key bucket (256 distinct keys
     below 2^8 while 12% span the full u64 range, so the adaptive window
-    collapses the hot mass into bucket 0 — atomic, unsplittable)."""
+    collapses the hot mass into bucket 0).  Hot-bucket REFINEMENT
+    (config.shuffle_refine_levels) balances this in 2 levels."""
     x = rng.integers(0, 1 << 8, size=n, dtype=np.uint64)
     x[: n // 8] = rng.integers(0, 2**64, size=n // 8, dtype=np.uint64)
     return x
 
 
+def _deep_hot_input(rng, n):
+    """Adversarial-beyond-refinement: concentration nested FOUR 16-bit
+    fields deep (90% zero at each of the top three fields), so 2
+    refinement levels still end on a huge multi-key bucket -> atomic
+    assignment -> one device demands ~0.73n rows."""
+
+    def field():
+        v = rng.integers(0, 1 << 16, size=n).astype(np.uint64)
+        v[rng.random(n) < 0.9] = 0
+        return v
+
+    lo = rng.integers(0, 1 << 16, size=n).astype(np.uint64)
+    return (
+        (field() << np.uint64(48)) | (field() << np.uint64(32))
+        | (field() << np.uint64(16)) | lo
+    )
+
+
 def test_overflow_1axis(rng):
     mesh = make_mesh(8)
     n = 1 << 12
-    x = _hot_bucket_input(rng, n)
+    x = _deep_hot_input(rng, n)
     words, _, counts = distributed_sort(
         _u64_planes(x), mesh=mesh, capacity_factor=1.1
     )
@@ -58,7 +77,7 @@ def test_overflow_1axis(rng):
 def test_overflow_2axis(rng, shape):
     mesh2 = make_mesh_2d(*shape)
     n = 1 << 12
-    x = _hot_bucket_input(rng, n)
+    x = _deep_hot_input(rng, n)
     words, _, counts = distributed_sort(
         _u64_planes(x), mesh=mesh2, axis=mesh2.axis_names,
         capacity_factor=1.1,
@@ -71,7 +90,7 @@ def test_overflow_2axis(rng, shape):
 def test_auto_retry_converges(rng, overlap):
     mesh = make_mesh(8)
     n = 1 << 12
-    x = _hot_bucket_input(rng, n)
+    x = _deep_hot_input(rng, n)
     pay = np.arange(n, dtype=np.uint32)
     words, payloads, counts = distributed_sort_auto(
         _u64_planes(x), [pay], mesh=mesh, capacity_factor=1.1,
@@ -89,7 +108,7 @@ def test_auto_retry_converges(rng, overlap):
 def test_auto_retry_2axis(rng):
     mesh2 = make_mesh_2d(2, 4)
     n = 1 << 12
-    x = _hot_bucket_input(rng, n)
+    x = _deep_hot_input(rng, n)
     words, _, counts = distributed_sort_auto(
         _u64_planes(x), mesh=mesh2, axis=mesh2.axis_names,
         capacity_factor=1.1,
@@ -99,6 +118,51 @@ def test_auto_retry_2axis(rng):
         np.uint64
     )
     np.testing.assert_array_equal(got, np.sort(x))
+
+
+# --- hot-bucket refinement: skewed distributions balance to ~fair share
+
+
+def _demand(x, mesh, axis, stable=False, pay=None):
+    payloads = [pay] if pay is not None else []
+    words, pl, counts = distributed_sort(
+        _u64_planes(x), payloads, mesh=mesh, axis=axis,
+        capacity_factor=8.0, stable=stable,
+    )
+    c = np.asarray(counts)
+    dense = gather_valid(list(words) + list(pl), counts)
+    got = (dense[0].astype(np.uint64) << np.uint64(32)) | dense[1].astype(
+        np.uint64
+    )
+    np.testing.assert_array_equal(got, np.sort(x))
+    if pay is not None:
+        order = np.argsort(x, kind="stable")
+        np.testing.assert_array_equal(dense[2], pay[order])
+    return float(c.max()) * mesh.devices.size / len(x)
+
+
+@pytest.mark.parametrize("dist", ["bimodal", "zipf", "hot256"])
+def test_refinement_balances_skew(rng, dist):
+    """Multi-key hot buckets refine to ~fair share (pre-refinement these
+    demanded 3.9-7.0x — scripts/capacity_study.py round-5 table)."""
+    n = 1 << 13
+    if dist == "bimodal":
+        u = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+        x = np.concatenate(
+            [u[: n // 2] >> np.uint64(32), u[n // 2 :] << np.uint64(32)]
+        )
+        rng.shuffle(x)
+    elif dist == "zipf":
+        x = np.minimum(rng.zipf(1.2, size=n), 1 << 20).astype(np.uint64)
+    else:
+        x = _hot_bucket_input(rng, n)
+    mesh = make_mesh(8)
+    pay = np.arange(n, dtype=np.uint32)
+    d = _demand(x, mesh, "shard", stable=True, pay=pay)
+    assert d <= 1.35, f"{dist}: demand {d} after refinement"
+    mesh2 = make_mesh_2d(2, 4)
+    d2 = _demand(x, mesh2, mesh2.axis_names)
+    assert d2 <= 1.35, f"{dist}: 2-axis demand {d2} after refinement"
 
 
 def _column_funnel_input(rng, H, C, n_local):
