@@ -53,13 +53,25 @@ agg, n_groups = distributed_group_aggregate(
 print("groups:", int(n_groups))
 
 # JOIN facts x dims on sku (co-partitioned: both sides routed by the
-# same range partition so matching keys meet on one device)
-joined, n_matched = distributed_join(
-    facts, dims, "sku", mesh=mesh, right_capacity_factor=float(D)
-)
+# same range partition so matching keys meet on one device; the small
+# dim side automatically gets full-table per-device capacity, so no
+# mesh-size-dependent tuning is needed)
+joined, n_matched = distributed_join(facts, dims, "sku", mesh=mesh)
 assert int(n_matched) == n
 assert np.array_equal(
     np.asarray(joined["price"]), np.asarray(joined["sku"]) * 3 + 10
 )
 print("joined rows:", int(n_matched))
+
+# raw key sort with automatic overflow retry: skewed key masses balance
+# via hot-bucket refinement; anything deeper doubles capacity until fit
+from rdst_tpu.parallel import distributed_sort_auto, gather_valid
+
+zipf = np.minimum(rng.zipf(1.2, size=n), 1 << 20).astype(np.uint32)
+words, _, zcounts = distributed_sort_auto(
+    [jax.numpy.asarray(zipf)], mesh=mesh
+)
+assert np.array_equal(gather_valid(words, zcounts)[0], np.sort(zipf))
+print("zipf sorted; max device load:",
+      int(np.asarray(zcounts).max()), "of", n // D, "fair share")
 jax.block_until_ready(counts)

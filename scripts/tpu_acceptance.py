@@ -129,6 +129,44 @@ def main():
         and np.array_equal(np.asarray(out_pays[0]), vs_in[order]),
     )
 
+    # low-memory REGIONS regime at production size (VERDICT r4 item 3):
+    # force the memory-pressure gate so the tuner's Regions pick actually
+    # runs chunked_sort -> fused chunk sorts -> Pallas merge tree on the
+    # real chip (the only plan family previously without TPU coverage)
+    from rdst_tpu import config as rconfig
+
+    lm = 20_000_000
+    klm = rng.integers(0, 2**64, lm, dtype=np.uint64)
+    old_thresh = rconfig.low_mem_threshold_bytes
+    rconfig.low_mem_threshold_bytes = 1  # any working set is "pressure"
+    try:
+        t0 = time.perf_counter()
+        got = (
+            rt.radix_sort_builder(klm).with_low_mem_tuner().sort()
+        )
+        dt = time.perf_counter() - t0
+    finally:
+        rconfig.low_mem_threshold_bytes = old_thresh
+    all_ok &= check(
+        f"u64 20M low-mem chunked plan, gate forced ({dt:.1f}s e2e)",
+        np.array_equal(np.asarray(got), np.sort(klm)),
+    )
+    del klm, got
+
+    # dispatcher end-to-end at 2^27 (VERDICT r4 item 6): tuner pick ->
+    # Scanning -> compaction -> fused pieces at 134M, the regime where
+    # the span fan-in cap and scoped-vmem fixes (51aae43) live
+    big = 1 << 27
+    kb = rng.integers(0, 2**64, big, dtype=np.uint64)
+    t0 = time.perf_counter()
+    got = rt.radix_sort_unstable(kb)
+    dt = time.perf_counter() - t0
+    all_ok &= check(
+        f"u64 2^27 (134M) default pipeline e2e ({dt:.1f}s incl transfers)",
+        np.array_equal(got, np.sort(kb)),
+    )
+    del kb, got
+
     # distributed pipeline on a 1-device TPU mesh: the ragged
     # all-to-all code path AND the fused local sort inside shard_map
     # (parallel/shuffle._local_sort) execute on the real chip

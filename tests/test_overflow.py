@@ -216,6 +216,30 @@ def test_stage1_poisoning_and_headroom(rng):
         config.hier_stage1_headroom = old
 
 
+def test_refinement_four_word_keys(rng):
+    """Refinement walks ALL key words: 4-plane (u128-style) keys whose
+    concentration sits in the SECOND word still balance and sort
+    bit-exactly with stable payloads."""
+    n = 1 << 12
+    w0 = np.zeros(n, dtype=np.uint32)  # constant top word
+    w1 = rng.integers(0, 1 << 8, size=n).astype(np.uint32)  # hot: 256 keys
+    w1[: n // 8] = rng.integers(0, 1 << 32, size=n // 8).astype(np.uint32)
+    w2 = rng.integers(0, 1 << 32, size=n).astype(np.uint32)
+    w3 = rng.integers(0, 1 << 32, size=n).astype(np.uint32)
+    pay = np.arange(n, dtype=np.uint32)
+    mesh = make_mesh(8)
+    words, payloads, counts = distributed_sort(
+        [w0, w1, w2, w3], [pay], mesh=mesh, capacity_factor=2.0,
+        stable=True,
+    )
+    c = np.asarray(counts)
+    assert float(c.max()) * 8 / n <= 1.5, "4-word refinement demand"
+    dense = gather_valid(list(words) + list(payloads), counts)
+    order = np.lexsort((pay, w3, w2, w1, w0))
+    for got, src in zip(dense, [w0, w1, w2, w3, pay]):
+        np.testing.assert_array_equal(got, src[order])
+
+
 def test_small_right_replication_floor(rng):
     """partition_exchange gives small tables full-table capacity: a
     32-row dim table co-partitions against a SKEWED fact partition with
