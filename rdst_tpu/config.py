@@ -87,6 +87,16 @@ shuffle_refine_levels = int(
     os.environ.get("RDST_TPU_REFINE_LEVELS", "2")
 )
 
+#: EXPERIMENTAL: route the distributed shuffle's 1-axis exchange through
+#: the Pallas remote-DMA kernel (parallel/remote_dma.py — the SURVEY §5
+#: comm-backend kernel) instead of ``jax.lax.ragged_all_to_all``.
+#: Requires a real multi-chip TPU mesh; structurally and layout-tested
+#: but execution-UNVERIFIED on hardware (this build env has one chip).
+#: Read at trace time — set before the first distributed_sort call.
+use_remote_dma_exchange = os.environ.get(
+    "RDST_TPU_REMOTE_DMA", "0"
+) not in ("0", "false", "")
+
 #: Small-table replication bound for :func:`partition_exchange`. A
 #: partitioned dataset no larger than this many rows gets FULL-TABLE
 #: per-device capacity (any partition skew is covered — a device can

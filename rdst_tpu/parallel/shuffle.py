@@ -757,6 +757,20 @@ def _exchange_raw(
     # exchange per plane. TPU: exact ragged all-to-all over ICI. CPU
     # (tests / dryrun): XLA:CPU lacks ragged-all-to-all, so emulate with a
     # dense all_to_all of worst-case fixed chunks (test-only memory cost).
+    from rdst_tpu import config
+
+    if (
+        config.use_remote_dma_exchange and not isinstance(axis, tuple)
+    ):
+        # EXPERIMENTAL kernel backend (SURVEY §5): chunked RDMA issued
+        # from inside a Pallas kernel; see parallel/remote_dma.py for
+        # the gating and verification status
+        from rdst_tpu.parallel.remote_dma import remote_dma_exchange
+
+        return remote_dma_exchange(
+            planes, input_offsets, send_sizes, size_matrix, capacity,
+            axis, D, me,
+        )
     n_valid = jnp.sum(recv_sizes)
     if use_ragged:
         out_planes = []
