@@ -575,6 +575,15 @@ def distributed_join(
     ``join_capacity_factor`` sizes each device's inner-join output buffer
     as a multiple of its left capacity; 1.0 covers any unique-right-key
     (pk-fk) join, duplicates may need more (OverflowError signals it).
+
+    Skew note: co-partitioning requires device-ATOMIC buckets (equal
+    keys of both sides must meet on one device), so the shuffle's
+    single-key rank-splitting and hot-bucket refinement are disabled
+    here by construction; a heavily skewed join key concentrates its
+    bucket on one device and needs ``capacity_factor`` headroom (the
+    OverflowError demand signal still applies). Small right sides are
+    immune: they get full-table per-device capacity
+    (config.replicate_capacity_max).
     """
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")

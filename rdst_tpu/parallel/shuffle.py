@@ -16,9 +16,11 @@ Pipeline (inside one ``jax.shard_map`` over the partition axis):
      contiguous and the exchange is order-preserving),
   2. global top-byte histogram via ``psum`` (the distributed analog of
      ``aggregate_tile_counts``, sort_utils.rs:247-249),
-  3. histogram-driven monotone bucket->device assignment (balanced ranges;
-     the skew signal is the same ``count >= 2*len/256`` rule the tuners
-     use, standard_tuner.rs:20-22),
+  3. histogram-driven monotone bucket->device assignment (balanced
+     ranges; single-key buckets split by exact stable rank, hot
+     multi-key buckets refine recursively — _refined_assignment; the
+     skew signal family matches the tuners' ``count >= 2*len/256``
+     rule, standard_tuner.rs:20-22),
   4. ragged all-to-all exchange with exact per-destination sizes
      (``jax.lax.ragged_all_to_all``), into fixed-capacity shards,
   5. local merge-sort of the received segments.

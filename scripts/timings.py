@@ -82,11 +82,16 @@ def main():
                 f = jax.jit(
                     lambda ws: tuple(sort_words(list(ws))[0])
                 )
-                out = f(words)
-                jax.block_until_ready(out)
-                t = median_time(
-                    lambda: jax.block_until_ready(f(words)), args.reps
-                )
+
+                def run(f=f, words=words):
+                    out = f(words)
+                    # force a tiny host transfer: block_until_ready does
+                    # NOT synchronize through the axon tunnel (round-2
+                    # measurement correction, BENCH_NOTES)
+                    float(jnp.sum(out[0][:4].astype(jnp.float32)))
+
+                run()  # compile + warm
+                t = median_time(run, args.reps)
                 rows.append(
                     {
                         "commit": sha,

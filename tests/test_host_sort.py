@@ -79,3 +79,20 @@ def test_host_path_not_taken_when_forced(rng, monkeypatch):
     got2 = rt.radix_sort_unstable(x)
     np.testing.assert_array_equal(got2, np.sort(x))
     assert calls
+
+
+def test_stable_argsort_host_path(rng, monkeypatch):
+    """Stable argsort of a small numpy single-key input rides the host
+    fast path (advisor r4 item 2): the host LSD radix is stable, so
+    key + iota payload IS the stable permutation — verified by making
+    the device path unreachable."""
+    import rdst_tpu.builder as b
+
+    def boom(*a, **k):
+        raise AssertionError("device path taken for small numpy argsort")
+
+    monkeypatch.setattr(b.Sorter, "run", boom)
+    for dtype in (np.uint32, np.int64, np.float64):
+        x = rng.integers(0, 50, 4096).astype(dtype)
+        got = rt.argsort(x, stable=True)
+        np.testing.assert_array_equal(got, np.argsort(x, kind="stable"))
