@@ -51,7 +51,25 @@ def main():
             check_vma=False,
         )
     )
-    out, valid, n_valid = fn(jnp.asarray(x))
+    import time
+
+    xj = jnp.asarray(x)
+    out, valid, n_valid = fn(xj)
+    # sync BEFORE timing: overlapped kernel launches cross-talk through
+    # the shared barrier semaphore (collective_id) — every call must
+    # retire before the next is dispatched
+    _ = np.asarray(out)[:4]
+    # bandwidth of the serialized chunk sends (self-send over the DMA
+    # engine, r+w HBM): per-call wall time incl. ~3ms tunnel dispatch
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = fn(xj)
+        np.asarray(r[0][:4])  # 4-el transfer: syncs the kernel, not 9MB
+    dt = (time.perf_counter() - t0) / reps
+    gbs = n_local * 4 * 2 / dt / 1e9
+    print(f"self-send: {dt * 1e3:.2f} ms/call for {n_local} rows "
+          f"(~{gbs:.1f} GB/s incl dispatch overhead)", flush=True)
     out, valid = np.asarray(out), np.asarray(valid)
     ok_count = int(np.asarray(n_valid)[0]) == n_local
     ok_mask = valid.sum() == n_local and valid[:n_local].all()
