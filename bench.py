@@ -138,6 +138,9 @@ def main():
     ap.add_argument("--try-2e30", action="store_true",
                     help="attempt n=2^30 with the donated harness (expected "
                          "to exhaust HBM at 2 planes; records the attempt)")
+    ap.add_argument("--planes", type=int, default=2,
+                    help="key word planes for --sweep-large (1 = u32 keys: "
+                         "2^30 = 1.07B elements fits one chip)")
     args = ap.parse_args()
 
     if args.all:
@@ -147,21 +150,22 @@ def main():
 
     if args.sweep_large:
         logns = [28, 29] + ([30] if args.try_2e30 else [])
+        P = args.planes
         for logn in logns:
             try:
                 kps = _bench_sort_words_donated(
-                    1 << logn, n_words=2, plan=args.plan, iters=3,
+                    1 << logn, n_words=P, plan=args.plan, iters=3,
                 )
             except Exception as e:  # noqa: BLE001 — record OOM verdicts
                 print(json.dumps({
-                    "metric": f"u64_sort_keys_per_s_chip_n{1 << logn}",
+                    "metric": f"u{32 * P}_sort_keys_per_s_chip_n{1 << logn}",
                     "value": 0,
                     "unit": "keys/s",
                     "error": repr(e)[:300],
                 }))
                 continue
             print(json.dumps({
-                "metric": f"u64_sort_keys_per_s_chip_n{1 << logn}",
+                "metric": f"u{32 * P}_sort_keys_per_s_chip_n{1 << logn}",
                 "value": round(kps),
                 "unit": "keys/s",
                 "vs_baseline": round(kps / 1e9, 4),
