@@ -27,6 +27,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from rdst_tpu import keys as _keys
 from rdst_tpu.builder import _encode_payload, _has_64bit_keys, _x64_enabled
 from rdst_tpu.parallel.shuffle import distributed_sort, partition_exchange
+
+
+def _hash_plane(words):
+    """Deterministic 32-bit mix of the key word planes.
+
+    The same pure function on every table => equal keys always collide,
+    which is all hash co-partitioning needs. Fibonacci-multiplicative
+    mix with an avalanche shift per word; full 32-bit output entropy, so
+    the shuffle's entropy-adaptive window draws all 16 bucket bits from
+    it and DISTINCT keys spread uniformly across devices regardless of
+    range clustering (BASELINE config 5's "hash-partitioned tables").
+    """
+    h = None
+    for w in words:
+        w = jnp.asarray(w)
+        h = w if h is None else h ^ w
+        h = h * np.uint32(0x9E3779B1)
+        h = h ^ jnp.right_shift(h, np.uint32(15))
+    return h
 from rdst_tpu.table.table import Table
 from rdst_tpu.table import ops as tops
 
@@ -342,6 +361,7 @@ def distributed_group_aggregate(
     axis: str = "shard",
     capacity_factor: float = 1.5,
     overlap_exchange: bool = False,
+    partition: str = "range",
 ):
     """Shuffle-then-local GROUP BY, finished entirely inside the mesh.
 
@@ -353,11 +373,19 @@ def distributed_group_aggregate(
     per-device first-group partials (see :func:`_agg_body`). numpy appears
     only at the API boundary to densify the per-device outputs.
     Returns (Table of group rows, n_groups).
+
+    ``partition="hash"`` shuffles by a leading 32-bit key hash instead
+    of key range (BASELINE config 5's hash-partitioned aggregate):
+    distinct group keys spread uniformly regardless of range clustering;
+    output group rows arrive hash-ordered rather than key-ordered.
     """
     by_list = [by] if isinstance(by, str) else list(by)
     for out_name, (col, op) in aggs.items():
         if op not in ("sum", "count", "mean", "min", "max", "first", "last"):
             raise ValueError(f"unsupported agg op {op!r}")
+    if partition not in ("range", "hash"):
+        raise ValueError("partition must be 'range' or 'hash'")
+    nkw_shift = 1 if partition == "hash" else 0
 
     # 1. shuffle rows by group key; value columns ride as payload words.
     # A value column that is ALSO a group key rides under an alias so it
@@ -369,8 +397,11 @@ def distributed_group_aggregate(
         sub_cols[alias[c]] = table.column(c)
     sub = Table(sub_cols)
     by2, nk, other, enc, payload_words = _encode_table(sub, by_list)
+    shuffle_words = list(nk.words)
+    if nkw_shift:
+        shuffle_words = [_hash_plane(nk.words)] + shuffle_words
     words, payloads, counts = distributed_sort(
-        list(nk.words), payload_words, mesh=mesh, axis=axis,
+        shuffle_words, payload_words, mesh=mesh, axis=axis,
         capacity_factor=capacity_factor, stable=True,
         overlap_exchange=overlap_exchange,
     )
@@ -434,10 +465,11 @@ def distributed_group_aggregate(
         jax.device_put(a, sharding)
         for a in list(words) + val_arrays + norm_planes
     ) + (jax.device_put(jnp.asarray(counts).astype(jnp.int32), sharding),)
-    out = _agg_jit(args, mesh, axis, nk.n_words, plan,
-                   nk.n_words + len(val_specs) + 1)
-    out_kw = out[: nk.n_words]
-    out_aggs = out[nk.n_words : nk.n_words + len(val_specs)]
+    nkw_a = nk.n_words + nkw_shift  # group-key planes incl. hash lead
+    out = _agg_jit(args, mesh, axis, nkw_a, plan,
+                   nkw_a + len(val_specs) + 1)
+    out_kw = out[nkw_shift:nkw_a]
+    out_aggs = out[nkw_a : nkw_a + len(val_specs)]
     gcounts = np.asarray(out[-1])
 
     # 4. API boundary: densify per-device valid group rows (numpy)
@@ -558,6 +590,7 @@ def distributed_join(
     right_capacity_factor: float | None = None,
     join_capacity_factor: float = 1.0,
     overlap_exchange: bool = False,
+    partition: str = "range",
 ):
     """Distributed sort-merge equi-join, finished entirely inside the mesh
     (duplicate right keys expand for ``how="inner"``; ``how="left"`` takes
@@ -584,16 +617,30 @@ def distributed_join(
     OverflowError demand signal still applies). Small right sides are
     immune: they get full-table per-device capacity
     (config.replicate_capacity_max).
+
+    ``partition="hash"`` prepends a deterministic 32-bit key hash as the
+    leading shuffle word on BOTH sides: distinct keys spread uniformly
+    across devices even when they cluster in one key range (the atomic-
+    bucket concentration above), at the cost of hash-ordered rather than
+    key-ordered per-device residency. Equal keys still meet (equal
+    hash), and the local sort-merge matches on the (hash, key)
+    composite.
     """
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
+    if partition not in ("range", "hash"):
+        raise ValueError("partition must be 'range' or 'hash'")
     on_list = [on] if isinstance(on, str) else list(on)
     if right_capacity_factor is None:
         right_capacity_factor = capacity_factor
+    nkw_shift = 1 if partition == "hash" else 0
 
     by, nk, other, enc, payload_words = _encode_table(left, on_list)
+    shuffle_words = list(nk.words)
+    if nkw_shift:
+        shuffle_words = [_hash_plane(nk.words)] + shuffle_words
     words, payloads, counts, part = distributed_sort(
-        list(nk.words), payload_words, mesh=mesh, axis=axis,
+        shuffle_words, payload_words, mesh=mesh, axis=axis,
         capacity_factor=capacity_factor, stable=True,
         split_uniform=False, return_partition=True,
         overlap_exchange=overlap_exchange,
@@ -604,8 +651,11 @@ def distributed_join(
         raise TypeError(
             "join key dtypes must normalize to the same width on both sides"
         )
+    rshuffle_words = list(rnk.words)
+    if nkw_shift:
+        rshuffle_words = [_hash_plane(rnk.words)] + rshuffle_words
     rwords, rpayloads, rcounts = partition_exchange(
-        list(rnk.words), rpayload_words, part, mesh=mesh, axis=axis,
+        rshuffle_words, rpayload_words, part, mesh=mesh, axis=axis,
         capacity_factor=right_capacity_factor, stable=True,
         overlap_exchange=overlap_exchange,
     )
@@ -616,7 +666,11 @@ def distributed_join(
     if (np.asarray(counts) > lcap).any() or (np.asarray(rcounts) > rcap).any():
         raise OverflowError("shuffle capacity exceeded; raise capacity_factor")
     out_cap = max(int(np.ceil(join_capacity_factor * lcap)), 16)
-    nkw, n_lpay, n_rpay = nk.n_words, len(payloads), len(rpayloads)
+    # the join body matches on every arriving key plane — including the
+    # leading hash plane under partition="hash" (equal keys <=> equal
+    # (hash, key) composite)
+    nkw = nk.n_words + nkw_shift
+    n_lpay, n_rpay = len(payloads), len(rpayloads)
     sharding = NamedSharding(mesh, P(axis))
     args = tuple(
         list(words) + list(payloads)
@@ -641,7 +695,7 @@ def distributed_join(
         p = np.asarray(plane).reshape(D, -1)
         return np.concatenate([p[d, : jcounts[d]] for d in range(D)])
 
-    out_kw = [jnp.asarray(dens(w)) for w in planes[:nkw]]
+    out_kw = [jnp.asarray(dens(w)) for w in planes[nkw_shift:nkw]]
     out_nk = _keys.NormalizedKeys(tuple(out_kw), nk.n_bytes, nk.meta)
     if _has_64bit_keys(nk) and not _x64_enabled():
         key_vals = _keys.denormalize_host(out_nk)

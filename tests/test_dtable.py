@@ -340,3 +340,70 @@ def test_distributed_join_output_overflow_detected(mesh, rng):
             capacity_factor=8.0, right_capacity_factor=10.0,
             join_capacity_factor=1.0,
         )
+
+
+def test_hash_partitioned_aggregate(rng):
+    """partition="hash" (BASELINE config 5's hash-partitioned tables):
+    same aggregate results as range partitioning, group keys spread by
+    hash rather than range."""
+    from rdst_tpu.parallel import distributed_group_aggregate, make_mesh
+
+    mesh = make_mesh(8)
+    n = 1 << 12
+    t = Table(
+        {
+            "grp": rng.integers(0, 37, n).astype(np.uint32),
+            "qty": rng.integers(1, 9, n).astype(np.uint32),
+        }
+    )
+    want, _ = distributed_group_aggregate(
+        t, "grp", {"total": ("qty", "sum")}, mesh=mesh
+    )
+    got, n_groups = distributed_group_aggregate(
+        t, "grp", {"total": ("qty", "sum")}, mesh=mesh, partition="hash"
+    )
+    assert int(n_groups) == len(np.unique(np.asarray(t["grp"])))
+    wmap = dict(zip(np.asarray(want["grp"]).tolist(),
+                    np.asarray(want["total"]).tolist()))
+    gmap = dict(zip(np.asarray(got["grp"]).tolist(),
+                    np.asarray(got["total"]).tolist()))
+    assert wmap == gmap
+
+
+def test_hash_partitioned_join_clustered_keys(rng):
+    """Clustered distinct join keys concentrate in one range bucket
+    (atomic co-partitioning); hash partitioning spreads them so the
+    same join fits a modest capacity_factor."""
+    from rdst_tpu.parallel import distributed_join, make_mesh
+
+    mesh = make_mesh(8)
+    n = 1 << 12
+    # 64 distinct keys inside one narrow range window, against a huge
+    # outlier spread that forces the adaptive window wide open
+    keys = (np.uint32(1 << 30) + rng.integers(0, 64, n)).astype(np.uint32)
+    keys[:8] = rng.integers(0, 1 << 30, 8).astype(np.uint32)  # outliers
+    fact = Table(
+        {"k": keys, "v": np.arange(n, dtype=np.uint32)}
+    )
+    dim = Table(
+        {
+            "k": (np.uint32(1 << 30) + np.arange(64)).astype(np.uint32),
+            "w": (np.arange(64, dtype=np.uint32) * 5),
+        }
+    )
+    # range partitioning concentrates the cluster -> needs big capacity
+    with pytest.raises(OverflowError):
+        distributed_join(
+            fact, dim, "k", mesh=mesh, capacity_factor=1.2, how="inner"
+        )
+    joined, n_matched = distributed_join(
+        fact, dim, "k", mesh=mesh, capacity_factor=1.2, how="inner",
+        partition="hash",
+    )
+    assert int(n_matched) == n - 8 + int(
+        np.isin(keys[:8], np.asarray(dim["k"])).sum()
+    )
+    np.testing.assert_array_equal(
+        np.asarray(joined["w"]),
+        (np.asarray(joined["k"]) - (1 << 30)) * 5,
+    )
