@@ -252,7 +252,6 @@ def _local_shard_body(
     # exactly what the equality test needs (lower words only matter when
     # all higher words are constant, in which case first/last are the
     # true extrema for them too).
-    gmin_tbl, gmax_tbl = [], []
     if split_uniform:
         first_idx = jnp.clip(edges[:-1], 0, n_local - 1)
         last_idx = jnp.clip(edges[1:] - 1, 0, n_local - 1)
@@ -264,8 +263,6 @@ def _local_shard_body(
             gmin = jax.lax.pmin(lmin, axis)
             gmax = jax.lax.pmax(lmax, axis)
             uniform = uniform & (gmin == gmax)
-            gmin_tbl.append(gmin)
-            gmax_tbl.append(gmax)
     else:
         # co-partitioning mode (joins): every bucket stays atomic so a
         # second dataset partitioned by the same window lands key-aligned
@@ -314,8 +311,7 @@ def _local_shard_body(
     if refine_levels > 0 and split_uniform and not return_partition and D > 1:
         take_lt, extra_take = _refined_assignment(
             sorted_all[:n_keys], edges, global_hist, uniform, take_lt,
-            bstart, Rd, total, D, me, axis, refine_levels, gmin_tbl,
-            gmax_tbl,
+            bstart, Rd, total, D, me, axis, refine_levels,
         )
     boundary = (jnp.sum(take_lt, axis=1) + extra_take).astype(
         jnp.int32
@@ -346,7 +342,7 @@ def _local_shard_body(
 
 def _refined_assignment(
     words, edges, global_hist, uniform, take_lt, bstart, Rd, total, D, me,
-    axis, levels, gmin_tbl, gmax_tbl,
+    axis, levels,
 ):
     """Hierarchical hot-bucket refinement — the distributed analog of the
     reference's per-bucket depth recursion (sorter.rs:121-171).
@@ -380,12 +376,30 @@ def _refined_assignment(
     # refine only a multi-key bucket bigger than half a device share
     active = (global_hist[hot] > total // (2 * D)) & (~uniform[hot])
     take_lt = jnp.where(((riota == hot) & active)[None, :], 0, take_lt)
-    cmin = [g[hot] for g in gmin_tbl]
-    cmax = [g[hot] for g in gmax_tbl]
+
+    def seg_extrema(lo, hi):
+        """EXACT per-word min/max over the chain segment (masked global
+        reductions). Segment-first/last rows are NOT valid extrema for
+        words below the most significant varying one — a varying word
+        whose boundary rows coincide would read as constant, get zero
+        window bits, and break the refined bucket id's monotonicity in
+        the sorted order (wrong send segments => wrong output; regression
+        pinned by tests/test_overflow.py::test_refinement_hidden_word)."""
+        in_seg = (iota >= lo) & (iota < hi)
+        mins, maxs = [], []
+        for w in words:
+            mins.append(jax.lax.pmin(
+                jnp.min(jnp.where(in_seg, w, PAD_WORD)), axis
+            ))
+            maxs.append(jax.lax.pmax(
+                jnp.max(jnp.where(in_seg, w, np.uint32(0))), axis
+            ))
+        return mins, maxs
 
     extra = jnp.zeros((D + 1,), jnp.int32)
     sender_iota = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
     for lvl in range(levels):
+        cmin, cmax = seg_extrema(seg_lo, seg_hi)
         # fresh 16-bit window over the chain's own key range (span-based:
         # words constant within the chain contribute zero bits)
         remaining = jnp.int32(16)
@@ -424,15 +438,12 @@ def _refined_assignment(
         last2 = jnp.clip(redges[1:] - 1, 0, n_local - 1)
         nonempty2 = rhist > 0
         runi = jnp.ones((R,), jnp.bool_)
-        gmin2, gmax2 = [], []
         for w in words:
             lmin = jnp.where(nonempty2, jnp.take(w, first2), PAD_WORD)
             lmax = jnp.where(nonempty2, jnp.take(w, last2), np.uint32(0))
             gmn = jax.lax.pmin(lmin, axis)
             gmx = jax.lax.pmax(lmax, axis)
             runi = runi & (gmn == gmx)
-            gmin2.append(gmn)
-            gmax2.append(gmx)
         atomic2 = (rcum_mid[None, :] < Rd[:, None]).astype(jnp.int32) * (
             rhist[None, :]
         )
@@ -451,12 +462,10 @@ def _refined_assignment(
         take2 = jnp.where(((riota == hot2) & active_next)[None, :], 0,
                           take2)
         extra = extra + jnp.where(active, jnp.sum(take2, axis=1), 0)
-        # advance the chain
+        # advance the chain (next level recomputes exact extrema)
         seg_lo = redges[hot2]
         seg_hi = redges[hot2 + 1]
         base_rank = rb_start[hot2]
-        cmin = [g[hot2] for g in gmin2]
-        cmax = [g[hot2] for g in gmax2]
         active = active_next
     return take_lt, extra
 

@@ -262,3 +262,40 @@ def test_small_right_replication_floor(rng):
     )
     dense = gather_valid(rwords, rcounts)
     assert sorted(dense[0].tolist()) == sorted(dim.tolist())
+
+
+def test_refinement_hidden_word(rng):
+    """Regression: a varying word whose SEGMENT-BOUNDARY rows coincide
+    must not be treated as constant by the refined window.
+
+    3-word keys, 87.5% hot mass at w0 in {0,1}; within the hot mass the
+    w0==0 rows carry w1 in {77, 200} and the w0==1 rows w1 in {3, 77},
+    so the chain segment's first row (w0=0, min w1=77) and last row
+    (w0=1, max w1=77) read w1 == 77 while w1 varies inside. First/last
+    extrema would allocate w1 ZERO window bits, the refined bucket id
+    would go non-monotone in the sorted order, and the send segments
+    would route rows to wrong devices (reproduced before the exact
+    masked-extrema fix). w2 varies freely to carry the damage."""
+    n = 1 << 12
+    w0 = np.zeros(n, np.uint32)
+    w1 = np.zeros(n, np.uint32)
+    w2 = rng.integers(0, 2**32, n).astype(np.uint32)
+    hot = np.ones(n, bool)
+    hot[: n // 8] = False
+    w0[~hot] = (
+        rng.integers(0, 2**32, (~hot).sum()).astype(np.uint32)
+        | np.uint32(1 << 31)
+    )
+    w0[hot] = rng.integers(0, 2, hot.sum()).astype(np.uint32)
+    a = hot & (w0 == 0)
+    b = hot & (w0 == 1)
+    w1[a] = np.where(rng.random(a.sum()) < 0.5, 77, 200).astype(np.uint32)
+    w1[b] = np.where(rng.random(b.sum()) < 0.5, 3, 77).astype(np.uint32)
+    mesh = make_mesh(8)
+    words, _, counts = distributed_sort(
+        [w0, w1, w2], mesh=mesh, capacity_factor=8.0
+    )
+    dense = gather_valid(words, counts)
+    order = np.lexsort((w2, w1, w0))
+    for d, s in zip(dense, [w0, w1, w2]):
+        np.testing.assert_array_equal(d, s[order])
