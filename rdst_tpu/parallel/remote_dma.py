@@ -94,7 +94,10 @@ def dma_layout(size_matrix, me, cap_elems, chunk=CHUNK):
     # sender-side element offsets: exclusive prefix along destinations
     off = jnp.cumsum(sm, axis=1) - sm  # (D, D): sender s's offset for d
     lead = off % LANES  # (D, D)
-    padded = ((lead + sm + (chunk - 1)) // chunk) * chunk  # (D, D)
+    # zero-size destinations send nothing (no alignment-lead-only chunk)
+    padded = jnp.where(
+        sm > 0, ((lead + sm + (chunk - 1)) // chunk) * chunk, 0
+    )  # (D, D)
     csum = jnp.cumsum(padded, axis=0)  # per destination column
     excl = csum - padded
     # clamp every sender's slot to the buffer end (identical math on

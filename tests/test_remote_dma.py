@@ -49,9 +49,14 @@ def test_layout_contract(size_matrix):
         # leads = each sender's alignment slack for my column
         np.testing.assert_array_equal(leads, off[:, me] % LANES)
         # slots: chunk-aligned, contain lead + data + tail overrun
+        # (zero-size senders get zero-width slots and send nothing)
         assert (seg[:-1] % CHUNK == 0).all()
         for s in range(D):
-            slot = -(-(leads[s] + sm[s, me]) // CHUNK) * CHUNK
+            slot = (
+                -(-(leads[s] + sm[s, me]) // CHUNK) * CHUNK
+                if sm[s, me] > 0 else 0
+            )
+            assert seg[s + 1] - seg[s] == slot or s == D - 1
             assert nch_of(sm, s, me) * CHUNK == slot
         # my send chunk counts cover exactly my padded segments
         for d in range(D):
@@ -63,6 +68,8 @@ def test_layout_contract(size_matrix):
 
 
 def nch_of(sm, s, d):
+    if sm[s, d] == 0:
+        return 0  # zero-size destinations send nothing
     off = np.cumsum(sm, axis=1) - sm
     lead = off[s, d] % LANES
     return -(-(lead + sm[s, d]) // CHUNK)
