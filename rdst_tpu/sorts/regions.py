@@ -63,17 +63,21 @@ def chunked_sort(
         for i, p in enumerate(planes)
     ]
 
+    # chunk sorts must be stable when (a) the API contract is stable, or
+    # (b) payloads ride: a pad row ties with a real all-ones key and an
+    # unstable sort could swap them, dropping a real payload at the
+    # truncation. Keys-only unstable sorts skip the stability tax (the
+    # fused executor's stable mode carries an extra iota plane).
+    stable_chunks = stable or bool(payloads)
     runs = []
     for c in range(n_chunks):
         chunk = [p[c * m : (c + 1) * m] for p in planes]
-        # always stable: the merge tiebreak planes preserve cross-chunk
-        # order, but within-chunk order must already be stable for the
-        # stable=True contract (and pads must stay behind equal real keys).
-        # Enter via comparative_sort so pow2 chunks ride the fused
-        # reversal-free executor (measured 1.1-1.6x over lax.sort) instead
-        # of forfeiting it in exactly the regime the memory gate engages.
+        # enter via comparative_sort so pow2 chunks ride the fused
+        # reversal-free executor (measured 1.1-1.6x over lax.sort)
+        # instead of forfeiting it in exactly the regime the memory gate
+        # engages
         cw, cp = comparative_sort(
-            chunk[:n_words], chunk[n_words:], stable=True
+            chunk[:n_words], chunk[n_words:], stable=stable_chunks
         )
         runs.append(cw + cp)
 
