@@ -209,3 +209,22 @@ def test_regions_low_mem_engages_chunked(rng, monkeypatch):
     order = np.argsort(k, kind="stable")
     np.testing.assert_array_equal(ks, k[order])
     np.testing.assert_array_equal(vs, v[order])
+
+
+def test_regions_chunked_unstable_keys_only(rng, monkeypatch):
+    """Keys-only unstable chunked sorts skip the stability tax (no iota
+    plane in the chunk sorts) yet still handle pad rows correctly —
+    incl. real all-ones keys that tie with the pad sentinel."""
+    from rdst_tpu import config
+
+    n = 40_000  # non-pow2 chunking with a padded final chunk
+    k = rng.integers(0, 2**32, size=n, dtype=np.int64).astype(np.uint32)
+    k[:64] = np.uint32(0xFFFFFFFF)  # ties with the pad sentinel
+    monkeypatch.setattr(config, "low_mem_threshold_bytes", 1)  # force chunked
+    got = (
+        rt.radix_sort_builder(k)
+        .with_algorithm(rt.Algorithm.REGIONS)
+        .with_stable(False)
+        .sort()
+    )
+    np.testing.assert_array_equal(got, np.sort(k))
