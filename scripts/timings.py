@@ -45,6 +45,19 @@ def gen(rng, n, dtype, dist):
     return x[:n]
 
 
+def gen_u128(rng, n, dist):
+    """u128 = composite (hi u64, lo u64), 16 levels (timings.rs covers
+    u128; radix_key_impl.rs:39-46)."""
+    hi = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+    lo = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+    if dist == "bimodal":
+        # half >>64 (hi moves into lo), half <<64 (lo moves into hi)
+        h = n // 2
+        lo[:h], hi[:h] = hi[:h].copy(), np.uint64(0)
+        hi[h:], lo[h:] = lo[h:].copy(), np.uint64(0)
+    return hi, lo
+
+
 def median_time(fn, reps=5):
     ts = []
     for _ in range(reps):
@@ -70,13 +83,19 @@ def main():
     sha = git_sha()
     rng = np.random.default_rng(0)
     rows = []
-    for dtype in ("uint32", "uint64"):
+    for dtype in ("uint32", "uint64", "uint128"):
         for dist in ("uniform", "bimodal"):
             n = 1 << args.max_exp
-            pool = gen(rng, n, np.dtype(dtype), dist)
+            if dtype == "uint128":
+                pool = gen_u128(rng, n, dist)
+            else:
+                pool = gen(rng, n, np.dtype(dtype), dist)
             size = n
             while size >= (1 << args.min_exp):
-                x = pool[:size]
+                if dtype == "uint128":
+                    x = (pool[0][:size], pool[1][:size])
+                else:
+                    x = pool[:size]
                 nk = rkeys.normalize(x)
                 words = tuple(jnp.asarray(np.asarray(w)) for w in nk.words)
                 f = jax.jit(
