@@ -130,6 +130,19 @@ def main():
         w.writerows(rows)
     print(f"wrote {len(rows)} rows to {args.out}")
 
+    # medley summary (bench_utils.rs:78-100, 134-166): total elements /
+    # total seconds over the exponential size set, per (type, dist)
+    for dtype in ("uint32", "uint64", "uint128"):
+        for dist in ("uniform", "bimodal"):
+            sel = [r for r in rows
+                   if r["type"] == dtype and r["dist"] == dist]
+            tot_n = sum(r["n"] for r in sel)
+            tot_s = sum(float(r["seconds"]) for r in sel)
+            if tot_s > 0:
+                print(f"medley {dtype} {dist}: "
+                      f"{tot_n / tot_s:.0f} keys/s summed over "
+                      f"{len(sel)} sizes")
+
 
 if __name__ == "__main__":
     main()
